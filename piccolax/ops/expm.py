@@ -1,0 +1,117 @@
+"""Matrix exponential kernels.
+
+The collocation dynamics constraint is x_{k+1} = expm(dt * G(u_k)) x_k
+(reference integrator: DirectTrajOpt's Pade/exponential BilinearIntegrator,
+see SURVEY.md section 2.7). Everything here is jnp-traceable, vmappable and
+exactly differentiable by JAX autodiff — the optimizer's dynamics ARE the
+Pade approximant, so autodiff of these functions gives the exact Jacobians
+the reference hand-assembles.
+
+Two paths:
+- `expm`: general scaling-and-squaring Pade-13 with dynamic (but statically
+  bounded) squaring count. Safe default.
+- `expm_pade_fixed`: fixed Pade order + static squaring count for the solver
+  hot loop where the norm scale is known (small dt*H). Fully static shapes
+  and control flow — the XLA/MXU fast path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["expm", "expm_pade_fixed", "expm_action"]
+
+# Pade-13 coefficients (Higham 2005)
+_B13 = (
+    64764752532480000.0, 32382376266240000.0, 7771770303897600.0,
+    1187353796428800.0, 129060195264000.0, 10559470521600.0, 670442572800.0,
+    33522128640.0, 1323241920.0, 40840800.0, 960960.0, 16380.0, 182.0, 1.0,
+)
+
+_THETA13 = 5.371920351148152
+
+
+def _pade13(A):
+    b = _B13
+    n = A.shape[-1]
+    ident = jnp.eye(n, dtype=A.dtype)
+    A2 = A @ A
+    A4 = A2 @ A2
+    A6 = A4 @ A2
+    U = A @ (A6 @ (b[13] * A6 + b[11] * A4 + b[9] * A2)
+             + b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * ident)
+    V = (A6 @ (b[12] * A6 + b[10] * A4 + b[8] * A2)
+         + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * ident)
+    return jnp.linalg.solve(V - U, V + U)
+
+
+@partial(jax.jit, static_argnames=("max_squarings",))
+def expm(A, max_squarings: int = 16):
+    """Scaling-and-squaring Pade-13 expm; batched over leading axes."""
+    A = jnp.asarray(A)
+    norm = jnp.max(jnp.sum(jnp.abs(A), axis=-1), axis=-1)  # inf-norm
+    s = jnp.maximum(
+        jnp.ceil(jnp.log2(jnp.maximum(norm / _THETA13, 1e-30))), 0.0)
+    s = jnp.minimum(s, float(max_squarings)).astype(jnp.int32)
+    scale = (2.0 ** (-s)).astype(jnp.result_type(A.dtype, float))
+    A_scaled = A * scale[..., None, None] if A.ndim > 2 else A * scale
+    P = _pade13(A_scaled)
+
+    def body(i, M):
+        do = i < s
+        sq = M @ M
+        if A.ndim > 2:
+            return jnp.where(do[..., None, None], sq, M)
+        return jnp.where(do, sq, M)
+
+    return jax.lax.fori_loop(0, max_squarings, body, P)
+
+
+# Pade coefficients for lower orders (numerator; denominator is mirrored signs)
+_PADE_B = {
+    3: (120.0, 60.0, 12.0, 1.0),
+    5: (30240.0, 15120.0, 3360.0, 420.0, 30.0, 1.0),
+    7: (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0, 56.0, 1.0),
+    9: (17643225600.0, 8821612800.0, 2075673600.0, 302702400.0, 30270240.0,
+        2162160.0, 110880.0, 3960.0, 90.0, 1.0),
+}
+
+
+def expm_pade_fixed(A, order: int = 7, squarings: int = 2):
+    """Diagonal Pade-[m/m] expm with a STATIC squaring count.
+
+    Accurate when ||A|| / 2^squarings is within the Pade radius for `order`
+    (e.g. order 7, ||A||/2^s <~ 0.95 gives ~1e-15; the collocation residual
+    uses dt*||H|| which templates keep O(1)). No data-dependent control flow
+    — ideal under vmap/jit on TPU.
+    """
+    b = _PADE_B[order]
+    A = A * (2.0 ** (-squarings))
+    n = A.shape[-1]
+    ident = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    # Even powers A^0, A^2, ..., A^(order-1)
+    n_even = (order + 1) // 2
+    evens = [ident]
+    A2 = A @ A
+    for j in range(1, n_even):
+        evens.append(A2 if j == 1 else evens[-1] @ A2)
+    # U = A * sum_j b[2j+1] A^(2j);  V = sum_j b[2j] A^(2j)
+    U_inner = sum(b[2 * j + 1] * evens[j] for j in range(n_even))
+    V = sum(b[2 * j] * evens[j] for j in range(n_even))
+    U = A @ U_inner
+    F = jnp.linalg.solve(V - U, V + U)
+    for _ in range(squarings):
+        F = F @ F
+    return F
+
+
+def expm_action(A, x, order: int = 7, squarings: int = 2):
+    """expm(A) @ x without forming expm when x has few columns.
+
+    For now forms the exponential (n is small in quantum control); kept as
+    the single seam where a Krylov/Pallas implementation can drop in.
+    """
+    return expm_pade_fixed(A, order=order, squarings=squarings) @ x
