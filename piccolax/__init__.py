@@ -8,5 +8,25 @@ optimization with a batched interior-point solver replacing Ipopt.
 
 __version__ = "0.1.0"
 
-from . import quantum
+from . import control, quantum, solver
+from .control import (
+    BangBangPulseProblem,
+    MinimumTimeProblem,
+    QuantumControlProblem,
+    SamplingProblem,
+    SmoothPulseProblem,
+    SplinePulseProblem,
+)
 from .quantum import *  # noqa: F401,F403
+from .quantum.trajectories import (
+    DensityTrajectory,
+    KetTrajectory,
+    MultiDensityTrajectory,
+    MultiKetTrajectory,
+    SamplingTrajectory,
+    UnitaryTrajectory,
+    discretize,
+    extract_pulse,
+)
+from .solver import IPMOptions
+from .trajectory import Trajectory

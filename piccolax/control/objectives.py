@@ -1,0 +1,241 @@
+"""Objective terms for collocation problems.
+
+TPU-native counterpart of the reference quantum objectives
+(reference: src/control/objectives.jl). Each term contributes to the
+separable stage cost sum_k term.stage_cost(k, get, g, params); terminal
+terms activate at k = N-1 via a where-mask. Exact Hessians come from JAX
+autodiff (the reference's hand-built low-rank HVP factors exist because
+Ipopt needs explicit Hessians; autodiff + small dims subsumes them).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..quantum import dynamics as dyn
+from ..quantum import isomorphisms as iso
+
+__all__ = [
+    "UnitaryInfidelityObjective",
+    "UnitaryFreePhaseInfidelityObjective",
+    "KetInfidelityObjective",
+    "CoherentKetInfidelityObjective",
+    "CoherentKetFreePhaseInfidelityObjective",
+    "DensityInfidelityObjective",
+    "QuadraticRegularizer",
+    "MinimumTimeObjective",
+    "LeakageObjective",
+    "UnitarySensitivityObjective",
+    "GlobalRegularizer",
+]
+
+
+class _ObjectiveBase:
+    def stage_cost(self, k, get, g, params, N: int):
+        raise NotImplementedError
+
+
+def _terminal(k, N, val):
+    return jnp.where(k == N - 1, val, 0.0)
+
+
+class UnitaryInfidelityObjective(_ObjectiveBase):
+    """Q * (1 - F(U_{N-1}, goal)); Pedersen subspace fidelity when the goal
+    is embedded (reference: objectives.jl:323)."""
+
+    def __init__(self, state_name: str, Q: float = 100.0, subspace=None):
+        self.state_name = state_name
+        self.Q = Q
+        self.subspace = None if subspace is None else np.asarray(subspace)
+
+    def fidelity(self, x, params):
+        U = iso.iso_vec_to_operator(x)
+        goal = params["goal"][self.state_name]     # complex [n, n] (full space)
+        if self.subspace is not None:
+            s = self.subspace
+            U_sub = U[s[:, None], s[None, :]]
+            G_sub = goal[s[:, None], s[None, :]]
+            return dyn.pedersen_fidelity(U_sub, G_sub)
+        return dyn.unitary_fidelity(U, goal)
+
+    def stage_cost(self, k, get, g, params, N):
+        F = self.fidelity(get(self.state_name), params)
+        return _terminal(k, N, self.Q * (1.0 - F))
+
+
+class UnitaryFreePhaseInfidelityObjective(UnitaryInfidelityObjective):
+    """Free per-qubit Z phases theta (trajectory globals) rotate the goal
+    before the fidelity (reference: objectives.jl:372)."""
+
+    def __init__(self, state_name: str, phase_name: str, n_qubits: int,
+                 Q: float = 100.0, subspace=None, gview=None):
+        super().__init__(state_name, Q, subspace)
+        self.phase_name = phase_name
+        self.n_qubits = n_qubits
+        self.gview = gview                       # g -> phases slice
+
+    def stage_cost(self, k, get, g, params, N):
+        phases = self.gview(g)
+        U = iso.iso_vec_to_operator(get(self.state_name))
+        goal = params["goal"][self.state_name]
+        if self.subspace is not None:
+            s = self.subspace
+            U_sub = U[s[:, None], s[None, :]]
+            G_sub = goal[s[:, None], s[None, :]]
+            diag = dyn.free_phase_diagonal(phases, self.n_qubits,
+                                           G_sub.shape[-1])
+            F = dyn.pedersen_fidelity(U_sub, diag[:, None] * G_sub)
+        else:
+            diag = dyn.free_phase_diagonal(phases, self.n_qubits,
+                                           goal.shape[-1])
+            F = dyn.unitary_fidelity(U, diag[:, None] * goal)
+        return _terminal(k, N, self.Q * (1.0 - F))
+
+
+class KetInfidelityObjective(_ObjectiveBase):
+    """Q * (1 - |<psi|goal>|^2) (reference: objectives.jl:34)."""
+
+    def __init__(self, state_name: str, Q: float = 100.0):
+        self.state_name = state_name
+        self.Q = Q
+
+    def stage_cost(self, k, get, g, params, N):
+        psi = iso.iso_to_ket(get(self.state_name))
+        goal = params["goal"][self.state_name]
+        F = dyn.fidelity(psi, goal)
+        return _terminal(k, N, self.Q * (1.0 - F))
+
+
+class CoherentKetInfidelityObjective(_ObjectiveBase):
+    """Coherent multi-state fidelity F = |1/K sum_i <goal_i|psi_i>|^2
+    (reference: objectives.jl:124-202)."""
+
+    def __init__(self, state_names, Q: float = 100.0):
+        self.state_names = tuple(state_names)
+        self.Q = Q
+
+    def _F(self, get, g, params):
+        acc = 0.0 + 0.0j
+        K = len(self.state_names)
+        for nm in self.state_names:
+            psi = iso.iso_to_ket(get(nm))
+            goal = params["goal"][nm]
+            acc = acc + jnp.sum(jnp.conj(goal) * psi)
+        return jnp.abs(acc / K) ** 2
+
+    def stage_cost(self, k, get, g, params, N):
+        return _terminal(k, N, self.Q * (1.0 - self._F(get, g, params)))
+
+
+class CoherentKetFreePhaseInfidelityObjective(CoherentKetInfidelityObjective):
+    """Coherent fidelity with free per-qubit Z phases on the goals
+    (reference: objectives.jl:230,283)."""
+
+    def __init__(self, state_names, n_qubits: int, Q: float = 100.0,
+                 gview=None):
+        super().__init__(state_names, Q)
+        self.n_qubits = n_qubits
+        self.gview = gview
+
+    def _F(self, get, g, params):
+        phases = self.gview(g)
+        acc = 0.0 + 0.0j
+        K = len(self.state_names)
+        for nm in self.state_names:
+            psi = iso.iso_to_ket(get(nm))
+            goal = params["goal"][nm]
+            diag = dyn.free_phase_diagonal(phases, self.n_qubits,
+                                           goal.shape[-1])
+            acc = acc + jnp.sum(jnp.conj(diag * goal) * psi)
+        return jnp.abs(acc / K) ** 2
+
+
+class DensityInfidelityObjective(_ObjectiveBase):
+    """Q * (1 - tr(rho rho_goal)) on the compact density iso
+    (reference: objectives.jl:418-437)."""
+
+    def __init__(self, state_name: str, Q: float = 100.0):
+        self.state_name = state_name
+        self.Q = Q
+
+    def stage_cost(self, k, get, g, params, N):
+        rho = iso.compact_iso_to_density(get(self.state_name))
+        goal = params["goal"][self.state_name]
+        F = dyn.density_fidelity(rho, goal)
+        return _terminal(k, N, self.Q * (1.0 - F))
+
+
+class QuadraticRegularizer(_ObjectiveBase):
+    """(R/2) * sum_k ||v_k||^2 (reference: DirectTrajOpt
+    QuadraticRegularizer use, SURVEY.md section 2.7)."""
+
+    def __init__(self, name: str, R):
+        self.name = name
+        self.R = R
+
+    def stage_cost(self, k, get, g, params, N):
+        v = get(self.name)
+        R = jnp.asarray(self.R)
+        return 0.5 * jnp.sum(R * v ** 2)
+
+
+class GlobalRegularizer(_ObjectiveBase):
+    """(R/2) ||gview(g)||^2 applied once (at k=0)."""
+
+    def __init__(self, gview, R):
+        self.gview = gview
+        self.R = R
+
+    def stage_cost(self, k, get, g, params, N):
+        v = self.gview(g)
+        return jnp.where(k == 0, 0.5 * jnp.sum(jnp.asarray(self.R) * v ** 2),
+                         0.0)
+
+
+class MinimumTimeObjective(_ObjectiveBase):
+    """D * sum_k dt_k (reference: MinimumTimeObjective; SURVEY 2.7)."""
+
+    def __init__(self, D: float = 1.0, time_name: str = "dt"):
+        self.D = D
+        self.time_name = time_name
+
+    def stage_cost(self, k, get, g, params, N):
+        # the final knot's dt pads the grid; sum the N-1 real intervals
+        return jnp.where(k < N - 1, self.D * get(self.time_name)[0], 0.0)
+
+
+class LeakageObjective(_ObjectiveBase):
+    """Population outside the computational subspace summed over knots
+    (reference: objectives.jl:479). `indices` are iso-vec component
+    indices of leakage entries."""
+
+    def __init__(self, state_name: str, indices, Q: float = 1.0):
+        self.state_name = state_name
+        self.indices = np.asarray(indices)
+        self.Q = Q
+
+    def stage_cost(self, k, get, g, params, N):
+        x = get(self.state_name)
+        return self.Q * jnp.sum(x[self.indices] ** 2)
+
+
+class UnitarySensitivityObjective(_ObjectiveBase):
+    """Norm of the terminal sensitivity blocks of a variational state
+    (reference: objectives.jl:457). State layout: [base; sens_1; ...]
+    stacked operator iso-vecs."""
+
+    def __init__(self, state_name: str, levels: int, n_vars: int,
+                 Q: float = 1.0):
+        self.state_name = state_name
+        self.levels = levels
+        self.n_vars = n_vars
+        self.Q = Q
+
+    def stage_cost(self, k, get, g, params, N):
+        x = get(self.state_name)
+        n2 = 2 * self.levels * self.levels
+        val = 0.0
+        for i in range(1, self.n_vars + 1):
+            val = val + jnp.sum(x[i * n2:(i + 1) * n2] ** 2)
+        return _terminal(k, N, self.Q * val)

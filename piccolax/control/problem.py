@@ -1,0 +1,257 @@
+"""Problem assembly: trajectory + objectives + integrators -> NLP -> solve.
+
+TPU-native counterpart of the reference QuantumControlProblem / DTO stack
+(reference: src/control/problems.jl:50-181; call stack SURVEY.md 3.1-3.2).
+`QuantumControlProblem.solve()` runs the batched IPM and then syncs the
+quantum trajectory: update globals -> extract pulse -> re-rollout
+(reference sync_trajectory!: problems.jl:137-151).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..quantum.trajectories import extract_pulse
+from ..solver.ipm import IPMOptions, solve_nlp
+from ..solver.nlp import CollocationNLP
+from ..trajectory import KnotLayout, Trajectory
+
+__all__ = ["QuantumControlProblem", "build_nlp"]
+
+
+def _nlp_layout(traj: Trajectory) -> KnotLayout:
+    """Layout over the NLP decision components (frozen excluded)."""
+    names = [n for n in traj.names if n not in traj.frozen]
+    return KnotLayout(names, [traj.dims[n] for n in names],
+                      traj.global_names,
+                      [traj.global_data[n].shape[0] for n in traj.global_names])
+
+
+def build_nlp(traj: Trajectory, objectives, integrators, eq_groups=(),
+              params=None):
+    """Assemble a CollocationNLP from trajectory metadata + terms.
+
+    Returns (nlp, params, Z0, g0, layout).
+    """
+    N = traj.N
+    layout = _nlp_layout(traj)
+    dz = layout.z_dim
+    dg = layout.g_dim
+    params = dict(params or {})
+    params["frozen"] = {n: traj.data[n] for n in traj.frozen}
+
+    # Bounds
+    lo = np.full((N, dz), -np.inf)
+    hi = np.full((N, dz), np.inf)
+    for name, sl in layout.slices.items():
+        if name in traj.bounds:
+            b = np.asarray(traj.bounds[name])
+            lo[:, sl] = b[:, 0][None, :]
+            hi[:, sl] = b[:, 1][None, :]
+    g_lo = np.full(dg, -np.inf)
+    g_hi = np.full(dg, np.inf)
+    for name, sl in layout.global_slices.items():
+        if name in traj.global_bounds:
+            b = np.asarray(traj.global_bounds[name])
+            g_lo[sl] = b[:, 0]
+            g_hi[sl] = b[:, 1]
+
+    # Equality rows: boundary pins + constraint groups
+    groups = []
+    eq_targets = {}
+    for kind, table in (("init", traj.initial), ("fin", traj.final)):
+        for name, val in table.items():
+            if name in traj.frozen:
+                continue
+            v = np.asarray(val, dtype=float)
+            d = traj.dims[name]
+            mask = np.zeros((N, d))
+            row = 0 if kind == "init" else N - 1
+            mask[row] = np.isfinite(v).astype(float)
+            if not mask.any():
+                continue
+            # Drop box bounds on pinned entries at the pinned knot — an
+            # equality pin sitting exactly on a bound makes the barrier
+            # KKT singular (gap -> 0).
+            sl = layout.slices[name]
+            cols = np.arange(sl.start, sl.stop)[np.isfinite(v)]
+            lo[row, cols] = -np.inf
+            hi[row, cols] = np.inf
+            key = f"{kind}_{name}"
+            eq_targets[key] = jnp.asarray(np.nan_to_num(v))
+
+            def make_fn(nm, ky):
+                def fn(k, get, gview, g, p):
+                    return get(nm) - p["eq"][ky]
+                return fn
+
+            groups.append((d, mask, make_fn(name, key)))
+    params["eq"] = eq_targets
+    for grp in eq_groups:
+        groups.append((grp.dim, np.asarray(grp.mask, dtype=float), grp.fn))
+
+    me = sum(d for d, _, _ in groups)
+    if me:
+        eq_mask = np.concatenate([m for _, m, _ in groups], axis=1)
+    else:
+        eq_mask = np.zeros((N, 0))
+
+    md = sum(intg.dim for intg in integrators)
+
+    def make_get(k, z, params):
+        def get(name):
+            if name in layout.slices:
+                return z[layout.slices[name]]
+            return params["frozen"][name][k]
+        return get
+
+    def gview_factory(g):
+        def gview(name):
+            return g[layout.global_slices[name]]
+        return gview
+
+    def stage_cost(k, z, g, params):
+        get = make_get(k, z, params)
+        total = 0.0
+        for obj in objectives:
+            total = total + obj.stage_cost(k, get, g, params, N)
+        return total
+
+    def dynamics(k, z, zp, g, params):
+        get = make_get(k, z, params)
+        getp = make_get(k + 1, zp, params)
+        outs = [intg.residual(k, get, getp, g, params)
+                for intg in integrators]
+        return jnp.concatenate(outs) if outs else jnp.zeros(0)
+
+    def stage_eq(k, z, g, params):
+        get = make_get(k, z, params)
+        gview = gview_factory(g)
+        outs = [fn(k, get, gview, g, params) for _, _, fn in groups]
+        return jnp.concatenate(outs) if outs else jnp.zeros(0)
+
+    nlp = CollocationNLP(
+        N=N, dz=dz, dg=dg, md=md, me=me,
+        stage_cost=stage_cost,
+        dynamics=dynamics if md else None,
+        stage_eq=stage_eq if me else None,
+        lo=lo, hi=hi, g_lo=g_lo, g_hi=g_hi, eq_mask=eq_mask)
+
+    Z0 = jnp.concatenate([traj.data[n] for n in layout.names], axis=1)
+    g0 = (jnp.concatenate([traj.global_data[n] for n in layout.global_names])
+          if dg else jnp.zeros(0))
+    return nlp, params, Z0, g0, layout
+
+
+def _writeback(traj: Trajectory, layout: KnotLayout, Z, g) -> Trajectory:
+    data = dict(traj.data)
+    for name, sl in layout.slices.items():
+        data[name] = Z[:, sl]
+    out = traj.replace(data=data)
+    if layout.g_dim:
+        gd = dict(traj.global_data)
+        for name, sl in layout.global_slices.items():
+            gd[name] = g[sl]
+        out = out.replace(global_data=gd)
+    return out
+
+
+class QuantumControlProblem:
+    """A quantum trajectory + assembled NLP, with solve/sync semantics.
+
+    reference: src/control/problems.jl:50 (QuantumControlProblem),
+    :167-178 (solve!), :137-151 (sync_trajectory!).
+    """
+
+    def __init__(self, qtraj, traj: Trajectory, objectives, integrators,
+                 constraints=(), params=None):
+        self.qtraj = qtraj
+        self.objectives = list(objectives)
+        self.integrators = list(integrators)
+        self.constraints = list(constraints)
+        for con in self.constraints:
+            traj = con.setup(traj)
+        self.traj = traj
+        eq_groups = []
+        for con in self.constraints:
+            eq_groups.extend(con.eq_rows(traj.N))
+        self.eq_groups = eq_groups
+        self.extra_params = dict(params or {})
+        self.result = None
+        self._solve_cache = {}
+
+    # -- assembly ------------------------------------------------------------
+
+    def build(self):
+        params = dict(self.extra_params)
+        params.setdefault("system", self.qtraj.system)
+        if "goal" not in params:
+            params["goal"] = self._default_goals()
+        return build_nlp(self.traj, self.objectives, self.integrators,
+                         self.eq_groups, params)
+
+    def _default_goals(self):
+        qt = self.qtraj
+        from ..quantum.trajectories import (MultiDensityTrajectory,
+                                            MultiKetTrajectory,
+                                            SamplingTrajectory)
+        if isinstance(qt, SamplingTrajectory):
+            base_goal = qt.base.goal
+            return {f"{qt.base.state_name}{i + 1}": base_goal
+                    for i in range(qt.n_systems)}
+        if isinstance(qt, (MultiKetTrajectory, MultiDensityTrajectory)):
+            return {nm: qt.goals[i] for i, nm in enumerate(qt.state_names())}
+        return {qt.state_name: qt.goal}
+
+    # -- solve ---------------------------------------------------------------
+
+    def solve(self, max_iter: int = 150, tol: float = 1e-7, sync: bool = True,
+              verbose: bool = True, options: IPMOptions | None = None):
+        """Solve the NLP, write the solution back into the trajectory, and
+        re-sync the quantum trajectory (globals -> pulse -> rollout)."""
+        opts = options or IPMOptions(max_iter=max_iter, tol=tol,
+                                     constr_viol_tol=tol)
+        nlp, params, Z0, g0, layout = self.build()
+        t0 = time.time()
+        solver = jax.jit(solve_nlp, static_argnames=("options",))
+        state = solver(nlp, params, Z0, g0, options=opts)
+        state = jax.block_until_ready(state)
+        t1 = time.time()
+        self.result = state
+        self.traj = _writeback(self.traj, layout, state.Z, state.g)
+        if sync:
+            self.sync_trajectory()
+        if verbose:
+            print(f"[piccolax] IPM: {int(state.it)} iters, "
+                  f"kkt={float(state.kkt_err):.2e}, "
+                  f"converged={bool(state.converged)}, "
+                  f"wall={t1 - t0:.2f}s")
+        return self
+
+    def sync_trajectory(self):
+        """Update globals, extract the optimized pulse, re-rollout."""
+        gp = {n: self.traj.global_data[n]
+              for n in self.qtraj.system.global_params}
+        if gp:
+            new_system = self.qtraj.system.with_global_params(gp)
+            self.qtraj = self.qtraj.replace(system=new_system)
+        pulse = extract_pulse(self.qtraj, self.traj)
+        self.qtraj = self.qtraj.rollout(pulse)
+        return self
+
+    # -- accessors -----------------------------------------------------------
+
+    @property
+    def pulse(self):
+        return self.qtraj.pulse
+
+    def fidelity(self, **kw):
+        return self.qtraj.fidelity(**kw)
+
+    @property
+    def converged(self) -> bool:
+        return bool(self.result.converged) if self.result is not None else False

@@ -60,10 +60,11 @@ class Trajectory:
     goal: dict                                   # name -> [dim] soft target at N-1
     controls: tuple = static_field(default=())   # control component names
     timestep: object = static_field(default=None)  # name of dt component or float
+    frozen: tuple = static_field(default=())     # components excluded from NLP vars
 
     def __init__(self, data, *, controls=(), timestep=None, bounds=None,
                  initial=None, final=None, goal=None, global_data=None,
-                 global_bounds=None):
+                 global_bounds=None, frozen=()):
         data = {k: jnp.asarray(v, dtype=jnp.result_type(float))
                 for k, v in data.items()}
         Ns = {v.shape[0] for v in data.values()}
@@ -87,6 +88,7 @@ class Trajectory:
         object.__setattr__(self, "goal", clean(goal))
         object.__setattr__(self, "controls", tuple(controls))
         object.__setattr__(self, "timestep", timestep)
+        object.__setattr__(self, "frozen", tuple(frozen))
 
     # -- shape & naming ------------------------------------------------------
 
