@@ -1,0 +1,151 @@
+"""The five BASELINE benchmark configurations (BASELINE.md / BASELINE.json).
+
+1. single-qubit SX gate, 2-level, 2 drives, N=50
+2. single-qutrit X with leakage suppression, 3-level transmon, N=100
+3. two-qubit CNOT on coupled transmons (2x2-level composite), N=200
+4. robustness ensemble: sampled Hamiltonian perturbations via vmap
+5. open-system Lindblad density-matrix optimization, 3-level transmon
+   with decay
+
+Each builder returns a ready-to-solve QuantumControlProblem.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import quantum as q
+from .control.templates import SmoothPulseProblem
+from .quantum.gates import GATES, PAULIS
+from .quantum.operators import EmbeddedOperator, annihilate, get_iso_vec_leakage_indices
+from .quantum.pulses import ZeroOrderPulse
+from .quantum.systems import LinearDissipator, OpenQuantumSystem, QuantumSystem
+from .quantum.trajectories import DensityTrajectory, UnitaryTrajectory
+
+__all__ = [
+    "sx_gate_problem",
+    "qutrit_x_problem",
+    "cnot_problem",
+    "robustness_ensemble",
+    "lindblad_problem",
+]
+
+
+def _seed_pulse(N, T, n_drives, seed=0, scale=0.01):
+    times = np.linspace(0, T, N)
+    us = scale * np.random.default_rng(seed).standard_normal((N, n_drives))
+    return ZeroOrderPulse(us, times), times
+
+
+def sx_gate_problem(N: int = 50, T: float = 10.0, seed: int = 0, **kw):
+    """Config 1: SX gate on a driven qubit (the README reference problem)."""
+    sys = QuantumSystem(np.zeros((2, 2)),
+                        [PAULIS["X"] / 2, PAULIS["Y"] / 2], 1.0)
+    pulse, _ = _seed_pulse(N, T, 2, seed)
+    qtraj = UnitaryTrajectory(sys, pulse, GATES["SX"])
+    kw.setdefault("Q", 100.0)
+    kw.setdefault("R", 1e-2)
+    kw.setdefault("du_bound", 0.5)
+    return SmoothPulseProblem(qtraj, N, **kw)
+
+
+def qutrit_x_problem(N: int = 100, T: float = 20.0, seed: int = 0,
+                     leakage_cost: float = 1.0, **kw):
+    """Config 2: X gate on the 0-1 subspace of a 3-level transmon with
+    leakage suppression (embedded goal + leakage objective)."""
+    sys = q.TransmonSystem(levels=3, omega=4.0, delta=0.2,
+                           drive_bounds=0.2)
+    goal = EmbeddedOperator(GATES["X"], [0, 1], [3])
+    pulse, _ = _seed_pulse(N, T, 2, seed)
+    qtraj = UnitaryTrajectory(sys, pulse, goal)
+    leak_idx = get_iso_vec_leakage_indices([0, 1], 3)
+    kw.setdefault("Q", 100.0)
+    kw.setdefault("R", 1e-2)
+    return SmoothPulseProblem(qtraj, N, leakage_indices=leak_idx,
+                              leakage_cost=leakage_cost, **kw)
+
+
+def cnot_problem(N: int = 200, T: float = 50.0, g: float = 0.1,
+                 drive_bound: float = 0.1, seed: int = 0, **kw):
+    """Config 3: CNOT on two coupled 2-level transmons
+    (reference validation problem: two_qubit_gate_validation.jl:55-60)."""
+    a = annihilate(2)
+    levels = [2, 2]
+    from .quantum.operators import lift_operator
+    a1 = lift_operator(a, 0, levels)
+    a2 = lift_operator(a, 1, levels)
+    H_drift = 2 * np.pi * g * (a1 @ a2.conj().T + a1.conj().T @ a2)
+    H_drives = [a1 + a1.conj().T, 1j * (a1 - a1.conj().T),
+                a2 + a2.conj().T, 1j * (a2 - a2.conj().T)]
+    H_drives = [2 * np.pi * H for H in H_drives]
+    sys = QuantumSystem(H_drift, H_drives, drive_bound)
+    pulse, _ = _seed_pulse(N, T, 4, seed)
+    qtraj = UnitaryTrajectory(sys, pulse, GATES["CX"])
+    kw.setdefault("Q", 100.0)
+    kw.setdefault("R", 1e-2)
+    return SmoothPulseProblem(qtraj, N, **kw)
+
+
+def robustness_ensemble(n_samples: int = 1024, N: int = 50, T: float = 10.0,
+                        eps_scale: float = 0.02, seed: int = 0):
+    """Config 4: ensemble of detuning-perturbed SX problems co-solved via
+    vmap (perturbations enter through `params`, one compiled solver).
+
+    Returns (nlp, params_batch, Z0_batch, layout) for
+    `piccolax.parallel.batch_solve`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    prob = sx_gate_problem(N=N, T=T, seed=seed)
+    nlp, params, Z0, g0, layout = prob.build()
+
+    rng = np.random.default_rng(seed)
+    eps = eps_scale * rng.standard_normal(n_samples)
+
+    # Perturb the drift term leaf of the system pytree per sample:
+    # H_drift -> H_drift + eps * sigma_z / 2 (detuning error)
+    base_sys = params["system"]
+
+    def perturbed(e):
+        dH = e * jnp.asarray(PAULIS["Z"]) / 2
+
+        def bump(s):
+            new_drift = tuple(
+                t.replace(H=t.H + dH) for t in s.drift_terms)
+            return s.replace(drift_terms=new_drift)
+
+        return bump(base_sys)
+
+    systems = jax.vmap(perturbed)(jnp.asarray(eps))
+    params_batch = dict(params)
+    params_batch["system"] = systems
+    # broadcast the non-batched params
+    params_batch = jax.tree_util.tree_map(
+        lambda x: x if x.ndim and x.shape[0] == n_samples else
+        jnp.broadcast_to(x, (n_samples, *jnp.shape(x))),
+        params_batch)
+    Z0_batch = jnp.broadcast_to(Z0[None], (n_samples, *Z0.shape))
+    return nlp, params_batch, Z0_batch, layout
+
+
+def lindblad_problem(N: int = 50, T: float = 10.0, gamma: float = 0.01,
+                     seed: int = 0, **kw):
+    """Config 5: density-matrix state transfer on a 3-level transmon with
+    decay (Lindblad collocation on the compact density iso)."""
+    base = q.TransmonSystem(levels=3, omega=4.0, delta=0.2, drive_bounds=0.2)
+    a = annihilate(3)
+    sys = OpenQuantumSystem(
+        drift_terms=base.drift_terms,
+        H_drives=[d.H for d in base.drive_terms],
+        drive_bounds=0.2,
+        dissipators=[LinearDissipator(a, gamma)])
+    rho0 = np.zeros((3, 3), dtype=complex)
+    rho0[0, 0] = 1.0
+    rho_goal = np.zeros((3, 3), dtype=complex)
+    rho_goal[1, 1] = 1.0
+    pulse, _ = _seed_pulse(N, T, 2, seed)
+    qtraj = DensityTrajectory(sys, pulse, rho0, rho_goal)
+    kw.setdefault("Q", 100.0)
+    kw.setdefault("R", 1e-2)
+    return SmoothPulseProblem(qtraj, N, **kw)

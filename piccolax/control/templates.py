@@ -106,8 +106,15 @@ def _common_problem(qtraj, traj, drive_name, Q, R_u, R_du, R_ddu,
                     pade_order, derivative_order, dt_free,
                     timesteps_all_equal, extra_objectives, extra_constraints,
                     leakage_indices, leakage_cost, leakage_value):
-    squarings = intg.choose_squarings(
-        intg._bound_dt_G_norm(qtraj.system, traj), pade_order)
+    norm_bound = intg._bound_dt_G_norm(qtraj.system, traj)
+    if norm_bound > 1.5:
+        import warnings
+        warnings.warn(
+            f"dt * ||H|| may reach {norm_bound:.2f} (> 1.5): the collocation "
+            "constraints are strongly nonlinear per knot and the solver may "
+            "crawl. Increase the knot count N (smaller dt) or rescale units.",
+            stacklevel=3)
+    squarings = intg.choose_squarings(norm_bound, pade_order)
 
     if isinstance(qtraj, SamplingTrajectory):
         integrators, objectives = _sampling_pieces(

@@ -4,7 +4,34 @@ Mirrors the reference architectural invariant that the quantum layer knows
 nothing about the optimizer (reference: src/quantum/CONTEXT.md:15).
 """
 
-from . import dynamics, gates, isomorphisms, operators, pulses, systems
+from . import (
+    dynamics,
+    encodings,
+    gates,
+    isomorphisms,
+    operators,
+    pulses,
+    system_utils,
+    systems,
+    templates,
+    trajectories,
+)
+from .encodings import DualRailEncoding, target_states
+from .system_utils import is_reachable, operator_algebra
+from .templates import (
+    CatSystem,
+    IonChainSystem,
+    MolmerSorensenCoupling,
+    MultiTransmonSystem,
+    RadialMSGateSystem,
+    RadialMSGateSystemWithPhase,
+    RydbergChainSystem,
+    TransmonCavitySystem,
+    TransmonDipoleCoupling,
+    TransmonSystem,
+    coherent_ket,
+    get_cat_controls,
+)
 from .dynamics import (
     density_fidelity,
     density_rollout,

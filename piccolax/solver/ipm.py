@@ -418,9 +418,30 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         def make_solver(Wmat):
             """Factor the KKT with Hessian block Wmat; return a solver
             (rz [N,dz], rc [N,m], bg [dg]) -> (dZ, dlam, dgs) reusable for
-            second-order corrections."""
+            second-order corrections. One step of iterative refinement
+            recovers accuracy lost to float32 factorization (the TPU path
+            runs f32; refinement costs one extra triangular sweep)."""
             diag = build_diag_W(Wmat, 0.0)
             Dts, _, _ = block_ldl_factor(diag, upper)
+
+            def K_matvec(w):
+                out = jnp.einsum("kab,kb->ka", diag, w)
+                out = out.at[:-1].add(jnp.einsum("kab,kb->ka", upper, w[1:]))
+                out = out.at[1:].add(
+                    jnp.einsum("kba,kb->ka", upper, w[:-1]))
+                return out
+
+            def ldl_solve_refined(r):
+                w = block_ldl_solve(Dts, upper, r)
+                if r.ndim == 2:
+                    res = r - K_matvec(w)
+                    w = w + block_ldl_solve(Dts, upper, res)
+                else:  # [N, mb, ncols]
+                    res = r - jnp.stack(
+                        [K_matvec(w[..., i]) for i in range(r.shape[-1])],
+                        axis=-1)
+                    w = w + block_ldl_solve(Dts, upper, res)
+                return w
             if dg:
                 P = jnp.concatenate([Cz, Jg], axis=1)   # [N, mb, dg]
                 Xcols = block_ldl_solve(Dts, upper, P)

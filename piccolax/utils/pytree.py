@@ -69,4 +69,14 @@ def pytree_dataclass(cls=None, **dc_kwargs):
 
 
 def _replace(self, **changes: Any):
-    return dataclasses.replace(self, **changes)
+    """Structural field replacement bypassing __init__ (classes here often
+    have convenience constructors whose signatures differ from the fields)."""
+    vals = {f.name: getattr(self, f.name) for f in dataclasses.fields(self)}
+    unknown = set(changes) - set(vals)
+    if unknown:
+        raise TypeError(f"unknown fields in replace: {unknown}")
+    vals.update(changes)
+    obj = object.__new__(type(self))
+    for k, v in vals.items():
+        object.__setattr__(obj, k, v)
+    return obj

@@ -1,0 +1,210 @@
+"""Visualization: pulses, populations, Bloch/Wigner (matplotlib).
+
+TPU-native counterpart of the reference visualization layer
+(reference: src/visualizations/quantum_objects/pulse_plots.jl,
+unitary_populations.jl, state_populations.jl;
+ext/PiccoloQuantumToolboxExt.jl Bloch/Wigner). Matplotlib replaces the
+Makie weak-dependency extensions; every function returns the Figure so
+callers can save or compose.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "plot_pulse",
+    "plot_pulse_IQ",
+    "plot_pulse_phases",
+    "plot_unitary_populations",
+    "plot_state_populations",
+    "plot_bloch_trajectory",
+    "plot_wigner",
+]
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def _pulse_samples(pulse, n: int = 400):
+    import jax
+
+    times = np.linspace(0.0, float(np.asarray(pulse.duration)), n)
+    us = np.asarray(jax.vmap(pulse)(times))
+    return times, us
+
+
+def plot_pulse(pulse, *, n_samples: int = 400, show_knots: bool = True,
+               bounds=None, ax=None, labels=None):
+    """Type-aware pulse rendering: dense curve + knot markers for spline
+    pulses, step plot for ZOH (reference: pulse_plots.jl:1-168)."""
+    plt = _mpl()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(8, 3.2))
+    else:
+        fig = ax.figure
+    from ..quantum.pulses import ZeroOrderPulse
+
+    times, us = _pulse_samples(pulse, n_samples)
+    d = us.shape[1]
+    labels = labels or [f"u{i + 1}" for i in range(d)]
+    for i in range(d):
+        if isinstance(pulse, ZeroOrderPulse):
+            kt = np.asarray(pulse.knot_times())
+            kv = np.asarray(pulse.knot_values())
+            ax.step(kt, kv[:, i], where="post", label=labels[i])
+        else:
+            ax.plot(times, us[:, i], label=labels[i])
+            if show_knots and hasattr(pulse, "knot_times"):
+                try:
+                    kt = np.asarray(pulse.knot_times())
+                    kv = np.asarray(pulse.knot_values())
+                    ax.plot(kt, kv[:, i], ".", ms=5)
+                except TypeError:
+                    pass
+    if bounds is not None:
+        b = np.asarray(bounds)
+        for i in range(min(d, b.shape[0])):
+            ax.axhline(b[i, 0], color="gray", lw=0.5, ls="--")
+            ax.axhline(b[i, 1], color="gray", lw=0.5, ls="--")
+    ax.set_xlabel("t")
+    ax.set_ylabel("u(t)")
+    ax.legend(loc="best", fontsize=8)
+    fig.tight_layout()
+    return fig
+
+
+def plot_pulse_IQ(pulse, *, n_samples: int = 400):
+    """IQ-pair rendering: drives (2i, 2i+1) as I/Q of channel i
+    (reference: pulse_plots.jl:666)."""
+    plt = _mpl()
+    times, us = _pulse_samples(pulse, n_samples)
+    d = us.shape[1]
+    n_ch = d // 2
+    fig, axes = plt.subplots(n_ch, 1, figsize=(8, 2.6 * n_ch), squeeze=False)
+    for c in range(n_ch):
+        ax = axes[c, 0]
+        ax.plot(times, us[:, 2 * c], label=f"I{c + 1}")
+        ax.plot(times, us[:, 2 * c + 1], label=f"Q{c + 1}")
+        ax.legend(fontsize=8)
+        ax.set_ylabel(f"ch {c + 1}")
+    axes[-1, 0].set_xlabel("t")
+    fig.tight_layout()
+    return fig
+
+
+def plot_pulse_phases(pulse, *, n_samples: int = 400):
+    """Magnitude + unwrapped phase of IQ pairs (reference: pulse_plots.jl:772)."""
+    plt = _mpl()
+    times, us = _pulse_samples(pulse, n_samples)
+    n_ch = us.shape[1] // 2
+    fig, axes = plt.subplots(2, 1, figsize=(8, 5), sharex=True)
+    for c in range(n_ch):
+        z = us[:, 2 * c] + 1j * us[:, 2 * c + 1]
+        axes[0].plot(times, np.abs(z), label=f"|ch{c + 1}|")
+        axes[1].plot(times, np.unwrap(np.angle(z)), label=f"arg ch{c + 1}")
+    axes[0].set_ylabel("magnitude")
+    axes[1].set_ylabel("phase (rad)")
+    axes[1].set_xlabel("t")
+    for a in axes:
+        a.legend(fontsize=8)
+    fig.tight_layout()
+    return fig
+
+
+def plot_unitary_populations(qtraj, *, columns=None):
+    """|U_ij(t)|^2 transfer populations from the cached rollout
+    (reference: unitary_populations.jl:104)."""
+    plt = _mpl()
+    times = np.asarray(qtraj.times)
+    Us = np.asarray(qtraj.Us)
+    n = Us.shape[-1]
+    columns = range(n) if columns is None else columns
+    fig, axes = plt.subplots(1, len(list(columns)), figsize=(4 * n, 3),
+                             squeeze=False)
+    for ax_i, j in enumerate(columns):
+        ax = axes[0, ax_i]
+        for i in range(n):
+            ax.plot(times, np.abs(Us[:, i, j]) ** 2,
+                    label=rf"$|U_{{{i}{j}}}|^2$")
+        ax.set_title(f"column {j}")
+        ax.set_xlabel("t")
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    return fig
+
+
+def plot_state_populations(qtraj, *, subspace=None):
+    """|psi_i(t)|^2 state populations (reference: state_populations.jl:101)."""
+    plt = _mpl()
+    times = np.asarray(qtraj.times)
+    psis = np.asarray(qtraj.psis)
+    pops = np.abs(psis) ** 2
+    idx = range(pops.shape[-1]) if subspace is None else subspace
+    fig, ax = plt.subplots(figsize=(8, 3.2))
+    for i in idx:
+        ax.plot(times, pops[..., i].reshape(len(times), -1)[:, 0],
+                label=rf"$|\psi_{{{i}}}|^2$")
+    ax.set_xlabel("t")
+    ax.set_ylabel("population")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    return fig
+
+
+def plot_bloch_trajectory(qtraj):
+    """Bloch-sphere path of a 2-level ket trajectory
+    (reference: quantum_toolbox.jl plot_bloch)."""
+    plt = _mpl()
+    psis = np.asarray(qtraj.psis)
+    from ..quantum.gates import PAULIS
+
+    xyz = []
+    for psi in psis:
+        rho = np.outer(psi, psi.conj())
+        xyz.append([np.real(np.trace(rho @ PAULIS[p]))
+                    for p in ("X", "Y", "Z")])
+    xyz = np.array(xyz)
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(projection="3d")
+    u, v = np.mgrid[0:2 * np.pi:40j, 0:np.pi:20j]
+    ax.plot_wireframe(np.cos(u) * np.sin(v), np.sin(u) * np.sin(v),
+                      np.cos(v), color="lightgray", lw=0.3)
+    ax.plot(xyz[:, 0], xyz[:, 1], xyz[:, 2], lw=2)
+    ax.scatter(*xyz[0], color="green", s=40)
+    ax.scatter(*xyz[-1], color="red", s=40)
+    return fig
+
+
+def plot_wigner(rho, *, xrange=(-4, 4), n_grid: int = 101):
+    """Wigner quasi-probability of a density matrix via the displaced-parity
+    formula (reference: quantum_toolbox.jl plot_wigner)."""
+    plt = _mpl()
+    rho = np.asarray(rho)
+    n = rho.shape[0]
+    xs = np.linspace(*xrange, n_grid)
+    from scipy.linalg import expm as _expm
+
+    a = np.diag(np.sqrt(np.arange(1, n)), 1)
+    parity = np.diag((-1.0) ** np.arange(n))
+    W = np.zeros((n_grid, n_grid))
+    for i, x in enumerate(xs):
+        for j, p in enumerate(xs):
+            alpha = (x + 1j * p) / np.sqrt(2)
+            D = _expm(alpha * a.conj().T - np.conj(alpha) * a)
+            W[j, i] = (2 / np.pi) * np.real(
+                np.trace(rho @ D @ parity @ D.conj().T))
+    fig, ax = plt.subplots(figsize=(5, 4.4))
+    vmax = np.abs(W).max()
+    im = ax.pcolormesh(xs, xs, W, cmap="RdBu_r", vmin=-vmax, vmax=vmax)
+    fig.colorbar(im, ax=ax, label="W(x, p)")
+    ax.set_xlabel("x")
+    ax.set_ylabel("p")
+    fig.tight_layout()
+    return fig
