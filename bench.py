@@ -34,6 +34,12 @@ def main():
 
     if args.quick:
         jax.config.update("jax_platforms", "cpu")
+    # The solver runs in float64: the quasidefinite KKT recursion spans a
+    # ~1e15 dynamic range (boundary-pinned knots regularized only by
+    # delta_c), beyond f32. On TPU, f64 is software-emulated — the whole
+    # solver is matmul-only real arithmetic precisely so that the
+    # emulation compiles (no LU/c128; see solver/kkt.py, ops/expm.py).
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     import piccolax as px

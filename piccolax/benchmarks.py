@@ -103,16 +103,20 @@ def robustness_ensemble(n_samples: int = 1024, N: int = 50, T: float = 10.0,
     rng = np.random.default_rng(seed)
     eps = eps_scale * rng.standard_normal(n_samples)
 
-    # Perturb the drift term leaf of the system pytree per sample:
-    # H_drift -> H_drift + eps * sigma_z / 2 (detuning error)
+    # Perturb the drift term of the system view per sample:
+    # H_drift -> H_drift + eps * sigma_z / 2 (detuning error). The view
+    # stores REAL iso generators and G is linear in H, so the
+    # perturbation is eps * G(sigma_z / 2) (host-precomputed, real).
     base_sys = params["system"]
+    Az = np.asarray(-0.5j * np.asarray(PAULIS["Z"]))
+    Gz = jnp.asarray(np.block([[Az.real, -Az.imag], [Az.imag, Az.real]]))
 
     def perturbed(e):
-        dH = e * jnp.asarray(PAULIS["Z"]) / 2
+        dG = e * Gz
 
         def bump(s):
             new_drift = tuple(
-                t.replace(H=t.H + dH) for t in s.drift_terms)
+                t.replace(H=t.H + dG) for t in s.drift_terms)
             return s.replace(drift_terms=new_drift)
 
         return bump(base_sys)

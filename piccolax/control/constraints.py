@@ -61,13 +61,12 @@ class FinalUnitaryFidelityConstraint(_ConstraintBase):
         self.slack_name = slack_name or f"_fid_slack_{state_name}"
 
     def _F(self, x, params):
-        U = iso.iso_vec_to_operator(x)
-        goal = params["goal"][self.state_name]
+        goal = params["goal"][self.state_name]    # operator iso-vec
         if self.subspace is not None:
-            s = self.subspace
-            return dyn.pedersen_fidelity(U[s[:, None], s[None, :]],
-                                         goal[s[:, None], s[None, :]])
-        return dyn.unitary_fidelity(U, goal)
+            n = int(round(np.sqrt(x.shape[-1] // 2)))
+            idx = iso.operator_subspace_iso_indices(n, self.subspace)
+            return dyn.pedersen_fidelity_iso(x[idx], goal[idx])
+        return dyn.unitary_fidelity_iso(x, goal)
 
     def setup(self, traj):
         gd = dict(traj.global_data)
@@ -92,8 +91,7 @@ class FinalKetFidelityConstraint(FinalUnitaryFidelityConstraint):
     """|<psi|goal>|^2 >= min_fidelity (reference: constraints.jl:24)."""
 
     def _F(self, x, params):
-        psi = iso.iso_to_ket(x)
-        return dyn.fidelity(psi, params["goal"][self.state_name])
+        return dyn.fidelity_iso(x, params["goal"][self.state_name])
 
 
 class FinalCoherentKetFidelityConstraint(_ConstraintBase):
@@ -118,11 +116,11 @@ class FinalCoherentKetFidelityConstraint(_ConstraintBase):
         mask[N - 1] = 1.0
 
         def fn(k, get, gview, g, params):
-            acc = 0.0 + 0.0j
+            re = im = 0.0
             for nm in self.state_names:
-                psi = iso.iso_to_ket(get(nm))
-                acc = acc + jnp.sum(jnp.conj(params["goal"][nm]) * psi)
-            F = jnp.abs(acc / len(self.state_names)) ** 2
+                r, i = iso.iso_inner(params["goal"][nm], get(nm))
+                re, im = re + r, im + i
+            F = (re ** 2 + im ** 2) / len(self.state_names) ** 2
             return jnp.array([F - self.min_fidelity
                               - gview(self.slack_name)[0]])
 
@@ -133,8 +131,7 @@ class FinalDensityFidelityConstraint(FinalUnitaryFidelityConstraint):
     """tr(rho rho_goal) >= min_fidelity (reference: constraints.jl:265)."""
 
     def _F(self, x, params):
-        rho = iso.compact_iso_to_density(x)
-        return dyn.density_fidelity(rho, params["goal"][self.state_name])
+        return dyn.density_fidelity_iso(x, params["goal"][self.state_name])
 
 
 class LeakageConstraint(_ConstraintBase):

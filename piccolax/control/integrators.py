@@ -9,11 +9,14 @@ d_k(z_k, z_{k+1}, g) = 0. The exponential (Pade) integrator step is
 
     x_{k+1} = expm(dt_k * G(u_k)) x_k
 
-evaluated natively in COMPLEX arithmetic (MXU-friendly) with states
-stored as real iso vectors at the solver boundary; derivatives come from
-JAX autodiff straight through the fixed-order Pade kernel, so the NLP
-sees the exact Jacobian/Hessian of the discrete dynamics (the reference
-hand-assembles these).
+evaluated ENTIRELY IN REAL ARITHMETIC on the iso generator
+G(u) = iso(-i H(u)) assembled from precomputed real term matrices
+(systems.RealGeneratorSystem): the jitted solver must trace no complex
+ops on TPU (the f64 x64 rewriter has no f64<->c128 conversions), and a
+real f64 matmul costs half its emulated-c128 equivalent. Derivatives
+come from JAX autodiff straight through the fixed-order Pade kernel, so
+the NLP sees the exact Jacobian/Hessian of the discrete dynamics (the
+reference hand-assembles these).
 
 All residuals are affine in z_{k+1} — the structural contract of the
 condensed KKT (solver/nlp.py).
@@ -101,12 +104,13 @@ class BilinearUnitaryIntegrator(_IntegratorBase):
         u = get(self.drive_name)
         dt = get(self.time_name)[0]
         t = get("t")[0] if self.time_dependent else 0.0
-        Hm = system.H(u, t)
-        Phi = expm_pade_fixed(-1j * dt * Hm, order=self.order,
-                              squarings=self.squarings)
-        U_k = iso.iso_vec_to_operator(get(self.state_name))
-        U_next = iso.iso_vec_to_operator(getp(self.state_name))
-        return iso.operator_to_iso_vec(U_next - Phi @ U_k)
+        Phi = expm_pade_fixed(dt * system.G(u, t), order=self.order,
+                              squarings=self.squarings)   # real [2n, 2n]
+        n = self.levels
+        X_k = _isovec_to_isocols(get(self.state_name), n, 0)
+        X_next = _isovec_to_isocols(getp(self.state_name), n, 0)
+        R = X_next - Phi @ X_k
+        return jnp.swapaxes(R, 0, 1).reshape(-1)
 
 
 class BilinearKetIntegrator(_IntegratorBase):
@@ -134,14 +138,11 @@ class BilinearKetIntegrator(_IntegratorBase):
         u = get(self.drive_name)
         dt = get(self.time_name)[0]
         t = get("t")[0] if self.time_dependent else 0.0
-        Hm = system.H(u, t)
-        Phi = expm_pade_fixed(-1j * dt * Hm, order=self.order,
-                              squarings=self.squarings)
+        Phi = expm_pade_fixed(dt * system.G(u, t), order=self.order,
+                              squarings=self.squarings)   # real [2n, 2n]
         outs = []
         for nm in self.state_names:
-            psi_k = iso.iso_to_ket(get(nm))
-            psi_next = iso.iso_to_ket(getp(nm))
-            outs.append(iso.ket_to_iso(psi_next - Phi @ psi_k))
+            outs.append(getp(nm) - Phi @ get(nm))   # ket iso = [Re; Im]
         return jnp.concatenate(outs)
 
 

@@ -6,6 +6,11 @@ separable stage cost sum_k term.stage_cost(k, get, g, params); terminal
 terms activate at k = N-1 via a where-mask. Exact Hessians come from JAX
 autodiff (the reference's hand-built low-rank HVP factors exist because
 Ipopt needs explicit Hessians; autodiff + small dims subsumes them).
+
+All fidelities are evaluated in REAL iso arithmetic: goals arrive in
+params["goal"] as iso vectors (converted host-side by problem.build), so
+the jitted solver traces no complex ops (required by TPU's f64 x64
+rewriter; see quantum/dynamics.py iso kernels).
 """
 
 from __future__ import annotations
@@ -42,22 +47,24 @@ def _terminal(k, N, val):
 
 class UnitaryInfidelityObjective(_ObjectiveBase):
     """Q * (1 - F(U_{N-1}, goal)); Pedersen subspace fidelity when the goal
-    is embedded (reference: objectives.jl:323)."""
+    is embedded (reference: objectives.jl:323). Goal arrives as an
+    operator iso-vec."""
 
     def __init__(self, state_name: str, Q: float = 100.0, subspace=None):
         self.state_name = state_name
         self.Q = Q
         self.subspace = None if subspace is None else np.asarray(subspace)
 
+    def _sub_idx(self, x):
+        n = int(round(np.sqrt(x.shape[-1] // 2)))
+        return iso.operator_subspace_iso_indices(n, self.subspace)
+
     def fidelity(self, x, params):
-        U = iso.iso_vec_to_operator(x)
-        goal = params["goal"][self.state_name]     # complex [n, n] (full space)
+        goal = params["goal"][self.state_name]     # iso-vec [2n^2]
         if self.subspace is not None:
-            s = self.subspace
-            U_sub = U[s[:, None], s[None, :]]
-            G_sub = goal[s[:, None], s[None, :]]
-            return dyn.pedersen_fidelity(U_sub, G_sub)
-        return dyn.unitary_fidelity(U, goal)
+            idx = self._sub_idx(x)
+            return dyn.pedersen_fidelity_iso(x[idx], goal[idx])
+        return dyn.unitary_fidelity_iso(x, goal)
 
     def stage_cost(self, k, get, g, params, N):
         F = self.fidelity(get(self.state_name), params)
@@ -77,19 +84,22 @@ class UnitaryFreePhaseInfidelityObjective(UnitaryInfidelityObjective):
 
     def stage_cost(self, k, get, g, params, N):
         phases = self.gview(g)
-        U = iso.iso_vec_to_operator(get(self.state_name))
+        x = get(self.state_name)
         goal = params["goal"][self.state_name]
         if self.subspace is not None:
-            s = self.subspace
-            U_sub = U[s[:, None], s[None, :]]
-            G_sub = goal[s[:, None], s[None, :]]
-            diag = dyn.free_phase_diagonal(phases, self.n_qubits,
-                                           G_sub.shape[-1])
-            F = dyn.pedersen_fidelity(U_sub, diag[:, None] * G_sub)
+            idx = self._sub_idx(x)
+            x_sub, goal_sub = x[idx], goal[idx]
+            m = int(round(np.sqrt(x_sub.shape[-1] // 2)))
+            ang = dyn.free_phase_angles(phases, self.n_qubits, m)
+            goal_rot = iso.apply_row_phase_iso(goal_sub, jnp.cos(ang),
+                                               jnp.sin(ang))
+            F = dyn.pedersen_fidelity_iso(x_sub, goal_rot)
         else:
-            diag = dyn.free_phase_diagonal(phases, self.n_qubits,
-                                           goal.shape[-1])
-            F = dyn.unitary_fidelity(U, diag[:, None] * goal)
+            m = int(round(np.sqrt(x.shape[-1] // 2)))
+            ang = dyn.free_phase_angles(phases, self.n_qubits, m)
+            goal_rot = iso.apply_row_phase_iso(goal, jnp.cos(ang),
+                                               jnp.sin(ang))
+            F = dyn.unitary_fidelity_iso(x, goal_rot)
         return _terminal(k, N, self.Q * (1.0 - F))
 
 
@@ -101,9 +111,8 @@ class KetInfidelityObjective(_ObjectiveBase):
         self.Q = Q
 
     def stage_cost(self, k, get, g, params, N):
-        psi = iso.iso_to_ket(get(self.state_name))
-        goal = params["goal"][self.state_name]
-        F = dyn.fidelity(psi, goal)
+        F = dyn.fidelity_iso(get(self.state_name),
+                             params["goal"][self.state_name])
         return _terminal(k, N, self.Q * (1.0 - F))
 
 
@@ -116,13 +125,12 @@ class CoherentKetInfidelityObjective(_ObjectiveBase):
         self.Q = Q
 
     def _F(self, get, g, params):
-        acc = 0.0 + 0.0j
+        re = im = 0.0
         K = len(self.state_names)
         for nm in self.state_names:
-            psi = iso.iso_to_ket(get(nm))
-            goal = params["goal"][nm]
-            acc = acc + jnp.sum(jnp.conj(goal) * psi)
-        return jnp.abs(acc / K) ** 2
+            r, i = iso.iso_inner(params["goal"][nm], get(nm))
+            re, im = re + r, im + i
+        return (re ** 2 + im ** 2) / K ** 2
 
     def stage_cost(self, k, get, g, params, N):
         return _terminal(k, N, self.Q * (1.0 - self._F(get, g, params)))
@@ -140,29 +148,30 @@ class CoherentKetFreePhaseInfidelityObjective(CoherentKetInfidelityObjective):
 
     def _F(self, get, g, params):
         phases = self.gview(g)
-        acc = 0.0 + 0.0j
+        re = im = 0.0
         K = len(self.state_names)
         for nm in self.state_names:
-            psi = iso.iso_to_ket(get(nm))
             goal = params["goal"][nm]
-            diag = dyn.free_phase_diagonal(phases, self.n_qubits,
-                                           goal.shape[-1])
-            acc = acc + jnp.sum(jnp.conj(diag * goal) * psi)
-        return jnp.abs(acc / K) ** 2
+            m = goal.shape[-1] // 2
+            ang = dyn.free_phase_angles(phases, self.n_qubits, m)
+            goal_rot = iso.apply_row_phase_iso(goal, jnp.cos(ang),
+                                               jnp.sin(ang))
+            r, i = iso.iso_inner(goal_rot, get(nm))
+            re, im = re + r, im + i
+        return (re ** 2 + im ** 2) / K ** 2
 
 
 class DensityInfidelityObjective(_ObjectiveBase):
     """Q * (1 - tr(rho rho_goal)) on the compact density iso
-    (reference: objectives.jl:418-437)."""
+    (reference: objectives.jl:418-437). Goal arrives as a compact iso."""
 
     def __init__(self, state_name: str, Q: float = 100.0):
         self.state_name = state_name
         self.Q = Q
 
     def stage_cost(self, k, get, g, params, N):
-        rho = iso.compact_iso_to_density(get(self.state_name))
-        goal = params["goal"][self.state_name]
-        F = dyn.density_fidelity(rho, goal)
+        F = dyn.density_fidelity_iso(get(self.state_name),
+                                     params["goal"][self.state_name])
         return _terminal(k, N, self.Q * (1.0 - F))
 
 

@@ -191,8 +191,41 @@ class QuantumControlProblem:
         params.setdefault("system", self.qtraj.system)
         if "goal" not in params:
             params["goal"] = self._default_goals()
+        # Solver views (host-built): the jitted NLP must trace no complex
+        # ops — TPU's f64 x64 rewriter has no f64<->c128 conversions, and
+        # real f64 matmuls are half the cost of emulated-c128 ones.
+        # Systems become real-generator views; goals become iso vectors.
+        from ..quantum.systems import RealGeneratorSystem
+        if not isinstance(params["system"], RealGeneratorSystem):
+            params["system"] = params["system"].solver_view()
+        if "systems" in params:
+            params["systems"] = tuple(
+                s if isinstance(s, RealGeneratorSystem) else s.solver_view()
+                for s in params["systems"])
+        params["goal"] = {nm: self._goal_iso(v)
+                          for nm, v in params["goal"].items()}
         return build_nlp(self.traj, self.objectives, self.integrators,
                          self.eq_groups, params)
+
+    def _goal_iso(self, goal):
+        """Host-side goal -> real iso vector matching the state encoding."""
+        from ..quantum import isomorphisms as iso
+        from ..quantum.trajectories import (DensityTrajectory,
+                                            MultiDensityTrajectory,
+                                            SamplingTrajectory)
+        if goal is None:
+            return None
+        arr = jnp.asarray(np.asarray(goal))
+        if arr.ndim >= 1 and not jnp.iscomplexobj(arr):
+            arr = arr.astype(jnp.complex128)
+        qt = self.qtraj
+        if isinstance(qt, SamplingTrajectory):
+            qt = qt.base
+        if isinstance(qt, (DensityTrajectory, MultiDensityTrajectory)):
+            return iso.density_to_compact_iso(arr)
+        if arr.ndim == 1:
+            return iso.ket_to_iso(arr)
+        return iso.operator_to_iso_vec(arr)
 
     def _default_goals(self):
         qt = self.qtraj

@@ -31,7 +31,28 @@ _B13 = (
     33522128640.0, 1323241920.0, 40840800.0, 960960.0, 16380.0, 182.0, 1.0,
 )
 
-_THETA13 = 5.371920351148152
+# Scaling threshold. The classic Pade-13 radius is 5.37, but the Pade
+# denominator is inverted with Newton-Schulz (TPU's LuDecomposition
+# supports only f32/c64, so jnp.linalg.solve is off-limits in the f64
+# production path); NS needs ||q(A)/b0 - I|| < 1, which holds for
+# ||A|| <= ~0.95 (series bound ~0.60). The extra squarings this costs
+# are 1-2 matmuls — cheaper than a pivoted solve anyway.
+_THETA13 = 0.95
+
+
+def _ns_solve(Mden, Mnum, b0, iters):
+    """Solve Mden @ F = Mnum by matmul-only Newton-Schulz inversion.
+
+    Contract: Mden = b0*(I + E) with ||E|| < 1 (true for scaled Pade
+    denominators). X <- X(2I - Mden X) doubles correct digits per
+    iteration from X0 = I/b0; `iters` is static. Exact under autodiff.
+    """
+    n = Mden.shape[-1]
+    ident = jnp.eye(n, dtype=Mden.dtype)
+    X = jnp.broadcast_to(ident / b0, Mden.shape)
+    for _ in range(iters):
+        X = X @ (2.0 * ident - Mden @ X)
+    return X @ Mnum
 
 
 def _pade13(A):
@@ -45,7 +66,7 @@ def _pade13(A):
              + b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * ident)
     V = (A6 @ (b[12] * A6 + b[10] * A4 + b[8] * A2)
          + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * ident)
-    return jnp.linalg.solve(V - U, V + U)
+    return _ns_solve(V - U, V + U, b[0], iters=8)
 
 
 @partial(jax.jit, static_argnames=("max_squarings",))
@@ -102,7 +123,7 @@ def expm_pade_fixed(A, order: int = 7, squarings: int = 2):
     U_inner = sum(b[2 * j + 1] * evens[j] for j in range(n_even))
     V = sum(b[2 * j] * evens[j] for j in range(n_even))
     U = A @ U_inner
-    F = jnp.linalg.solve(V - U, V + U)
+    F = _ns_solve(V - U, V + U, b[0], iters=6)
     for _ in range(squarings):
         F = F @ F
     return F

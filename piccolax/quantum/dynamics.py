@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.expm import expm
+from . import isomorphisms as iso
 from .operators import EmbeddedOperator
 from .pulses import CubicSplinePulse, LinearSplinePulse, ZeroOrderPulse
 
@@ -34,6 +35,11 @@ __all__ = [
     "unitary_fidelity",
     "pedersen_fidelity",
     "free_phase_diagonal",
+    "free_phase_angles",
+    "fidelity_iso",
+    "unitary_fidelity_iso",
+    "pedersen_fidelity_iso",
+    "density_fidelity_iso",
     "unitary_rollout",
     "ket_rollout",
     "density_rollout",
@@ -88,18 +94,60 @@ def pedersen_fidelity(U_sub, U_goal_sub):
     return (t1 + t2) / (n * (n + 1))
 
 
-def free_phase_diagonal(phases, n_qubits: int, dim: int):
-    """Per-qubit Z free-phase diagonal: entry i gets exp(i * sum of phases of
-    qubits in |1> in the binary decomposition of i (MSB = qubit 0).
-
-    reference convention: rollouts_extensions.jl free-phase goal.
-    """
+def free_phase_angles(phases, n_qubits: int, dim: int):
+    """Per-entry total free phase: entry i sums the phases of qubits in |1>
+    in the binary decomposition of i (MSB = qubit 0). Real output."""
     i = jnp.arange(dim)
     total = jnp.zeros(dim)
     for j in range(n_qubits):
         bit = (i >> (n_qubits - 1 - j)) & 1
         total = total + bit * phases[j]
-    return jnp.exp(1j * total)
+    return total
+
+
+def free_phase_diagonal(phases, n_qubits: int, dim: int):
+    """exp(i * free_phase_angles) as a complex diagonal.
+
+    reference convention: rollouts_extensions.jl free-phase goal.
+    """
+    return jnp.exp(1j * free_phase_angles(phases, n_qubits, dim))
+
+
+# -- iso-space fidelity kernels (real arithmetic; TPU production path) ------ #
+# The NLP evaluates these on real iso vectors so the solver traces no
+# complex ops (TPU's f64 x64 rewriter has no f64<->c128 conversions).
+
+
+def fidelity_iso(psi_iso, goal_iso):
+    """|<psi|goal>|^2 from ket isos."""
+    re, im = iso.iso_inner(psi_iso, goal_iso)
+    return re ** 2 + im ** 2
+
+
+def unitary_fidelity_iso(x_iso, goal_iso):
+    """|tr(U^dag U_goal)|^2 / n^2 from operator iso-vecs."""
+    n = int(round(np.sqrt(x_iso.shape[-1] // 2)))
+    re, im = iso.iso_vec_inner(x_iso, goal_iso)
+    return (re ** 2 + im ** 2) / n ** 2
+
+
+def pedersen_fidelity_iso(x_sub_iso, goal_sub_iso):
+    """Pedersen average-gate fidelity on a subspace from iso-vecs.
+
+    F = (tr(M^dag M) + |tr M|^2) / (n (n + 1)), M = U_goal^dag U_sub.
+    Assumes the goal's subspace block is unitary (true for embedded gate
+    goals), so tr(M^dag M) = ||U_sub||_F^2 = sum(x_sub^2).
+    """
+    m = int(round(np.sqrt(x_sub_iso.shape[-1] // 2)))
+    t1 = jnp.sum(x_sub_iso ** 2, axis=-1)
+    re, im = iso.iso_vec_inner(goal_sub_iso, x_sub_iso)
+    return (t1 + re ** 2 + im ** 2) / (m * (m + 1))
+
+
+def density_fidelity_iso(x_compact, goal_compact):
+    """tr(rho rho_goal) from compact density isos (the sqrt(2)-scaled
+    compact iso is a Frobenius isometry, so this is a plain dot)."""
+    return jnp.sum(x_compact * goal_compact, axis=-1)
 
 
 # --------------------------------------------------------------------------- #

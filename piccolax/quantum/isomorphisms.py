@@ -47,6 +47,10 @@ __all__ = [
     "var_G",
     "ket_to_bloch",
     "bloch_to_ket",
+    "iso_inner",
+    "iso_vec_inner",
+    "operator_subspace_iso_indices",
+    "apply_row_phase_iso",
 ]
 
 
@@ -268,6 +272,75 @@ def var_G(Gm, G_vars):
     for i, Gv in enumerate(G_vars):
         out = out.at[..., (i + 1) * n:(i + 2) * n, :m].add(Gv)
     return out
+
+
+# --------------------------------------------------------------------------- #
+# Real-arithmetic iso kernels (TPU production path)
+# --------------------------------------------------------------------------- #
+# The collocation NLP must stay complex-free on TPU: the f64 x64 rewriter
+# has no f64<->c128 conversions, and real f64 matmuls cost half their
+# emulated-c128 equivalents. These helpers compute complex inner products
+# / fidelities / phase rotations directly on iso vectors.
+
+
+def iso_inner(x, y):
+    """Complex inner product <x|y> = x^dag y of two ket isos.
+
+    x, y (..., 2n) real -> (re, im) with batching over leading axes.
+    """
+    n = x.shape[-1] // 2
+    xR, xI = x[..., :n], x[..., n:]
+    yR, yI = y[..., :n], y[..., n:]
+    re = jnp.sum(xR * yR + xI * yI, axis=-1)
+    im = jnp.sum(xR * yI - xI * yR, axis=-1)
+    return re, im
+
+
+def iso_vec_inner(x, y):
+    """tr(X^dag Y) = sum_j <col_j(X)|col_j(Y)> for operator iso-vecs.
+
+    x, y (..., 2n^2) real -> (re, im).
+    """
+    n = int(round(np.sqrt(x.shape[-1] // 2)))
+    xc = x.reshape(*x.shape[:-1], n, 2 * n)
+    yc = y.reshape(*y.shape[:-1], n, 2 * n)
+    re, im = iso_inner(xc, yc)
+    return jnp.sum(re, axis=-1), jnp.sum(im, axis=-1)
+
+
+@lru_cache(maxsize=None)
+def _operator_subspace_iso_indices(n: int, subspace: tuple) -> np.ndarray:
+    s = np.asarray(subspace)
+    m = len(s)
+    idx = np.empty(2 * m * m, dtype=np.int64)
+    for jj, col in enumerate(s):
+        for ii, row in enumerate(s):
+            idx[2 * m * jj + ii] = 2 * n * col + row            # Re
+            idx[2 * m * jj + m + ii] = 2 * n * col + n + row    # Im
+    return idx
+
+
+def operator_subspace_iso_indices(n: int, subspace) -> np.ndarray:
+    """iso-vec indices such that x[idx] is the iso-vec of U[s, s]
+    (an operator iso-vec of dimension len(s))."""
+    return _operator_subspace_iso_indices(n, tuple(int(i) for i in subspace))
+
+
+def apply_row_phase_iso(x, cos_t, sin_t):
+    """Multiply row r of the underlying complex operator/ket by
+    e^{i theta_r}, entirely in iso coordinates.
+
+    Operator iso-vec x (2n^2,) with cos_t/sin_t (n,): equivalent to
+    operator_to_iso_vec(diag(e^{i theta})[:, None] * U). Ket iso (2n,):
+    equivalent to ket_to_iso(e^{i theta} * psi).
+    """
+    d = x.shape[-1]
+    n = cos_t.shape[-1]
+    ncols = d // (2 * n)
+    b = x.reshape(*x.shape[:-1], ncols, 2, n)    # [col, (Re, Im), row]
+    re = b[..., 0, :] * cos_t - b[..., 1, :] * sin_t
+    im = b[..., 0, :] * sin_t + b[..., 1, :] * cos_t
+    return jnp.stack([re, im], axis=-2).reshape(*x.shape[:-1], d)
 
 
 # --------------------------------------------------------------------------- #

@@ -37,6 +37,7 @@ __all__ = [
     "LinearDissipator",
     "NonlinearDissipator",
     "QuantumSystem",
+    "RealGeneratorSystem",
     "OpenQuantumSystem",
     "VariationalQuantumSystem",
     "CompositeQuantumSystem",
@@ -368,6 +369,99 @@ class QuantumSystem:
         new.update(params)
         return self.replace(global_params=new)
 
+    def solver_view(self) -> "RealGeneratorSystem":
+        """Real-arithmetic view for the collocation solver (host-built).
+
+        Precomputes the real iso generator of every Hamiltonian term so
+        the NLP traces no complex ops: TPU's f64 x64 rewriter has no
+        f64<->c128 conversions, and real f64 matmuls cost half their
+        emulated-c128 equivalents (SURVEY.md section 7 design delta).
+        """
+        if self.H_fn is not None:
+            raise ValueError(
+                "function-based systems (H_fn) have no precomputable real "
+                "generator; provide drift/drive matrices for the solver path")
+        f64 = jnp.result_type(float)
+        drift = tuple(
+            DriftTerm(jnp.asarray(iso_mod.G(t.H), f64), modulation=t.modulation)
+            for t in self.drift_terms)
+        drives = tuple(
+            _with_real_G(d, jnp.asarray(iso_mod.G(d.H), f64))
+            for d in self.drive_terms)
+        return RealGeneratorSystem(
+            drift_terms=drift, drive_terms=drives,
+            levels=self.levels, n_drives=self.n_drives,
+            time_dependent=self.time_dependent)
+
+
+def _with_real_G(d, Gmat):
+    """Rebuild a drive term with its Hamiltonian replaced by the real iso
+    generator (the coefficient structure is untouched)."""
+    if isinstance(d, ModulatedDrive):
+        return ModulatedDrive(_with_real_G(d.drive, Gmat), b=d.b)
+    if isinstance(d, LinearDrive):
+        return LinearDrive(Gmat, index=d.index)
+    return NonlinearDrive(Gmat, f=d.f, active_controls=d.active_controls)
+
+
+@pytree_dataclass
+class RealGeneratorSystem:
+    """Solver-side system view: REAL iso generators only.
+
+    Built host-side by `QuantumSystem.solver_view()`. The collocation NLP
+    assembles G(u, t) = sum coeff * G_term from these precomputed real
+    matrices, so the jitted solver traces zero complex ops — required on
+    TPU (the f64 x64 rewriter has no f64<->c128 conversions) and cheaper
+    (a real f64 matmul is half an emulated-c128 one). Drive/drift terms
+    here carry the real generator in their `H` slot; coefficient
+    callables are reused unchanged.
+
+    reference analogue: the reference also optimizes in the real iso
+    space (src/control/integrators.jl:33-42 builds G(u) for Ipopt).
+    """
+
+    drift_terms: tuple = ()
+    drive_terms: tuple = ()
+    var_blocks: tuple = ()           # real variational generator blocks
+    lind_drift: tuple = ()           # compact-iso Lindblad generator per drift
+    lind_drives: tuple = ()          # ... per drive term
+    diss_mats: tuple = ()            # unit-rate compact dissipator superops
+    diss_rates: tuple = ()           # rate leaves (linear dissipators)
+    levels: int = static_field(default=0)
+    n_drives: int = static_field(default=0)
+    time_dependent: bool = static_field(default=False)
+    diss_rate_fns: tuple = static_field(default=())   # callables or None
+
+    def G(self, u=None, t=0.0):
+        """Real iso generator (2n x 2n): d/dt iso(x) = G(u, t) iso(x)."""
+        u = jnp.zeros(self.n_drives) if u is None else jnp.asarray(u)
+        m = 2 * self.levels
+        Gm = jnp.zeros((m, m), jnp.result_type(u.dtype, jnp.float32))
+        for term in self.drift_terms:
+            Gm = Gm + term.coeff(t) * term.H
+        for d in self.drive_terms:
+            Gm = Gm + d.coeff(u, t) * d.H
+        return Gm
+
+    def var_G(self, u=None, t=0.0):
+        """Block-triangular variational generator (real)."""
+        return iso_mod.var_G(self.G(u, t), list(self.var_blocks))
+
+    def compact_lindbladian(self, u=None, t=0.0):
+        """Real compact-iso Lindblad generator (n^2 x n^2)."""
+        u = jnp.zeros(self.n_drives) if u is None else jnp.asarray(u)
+        m = self.levels * self.levels
+        A = jnp.zeros((m, m), jnp.result_type(u.dtype, jnp.float32))
+        for term, Am in zip(self.drift_terms, self.lind_drift):
+            A = A + term.coeff(t) * Am
+        for d, Am in zip(self.drive_terms, self.lind_drives):
+            A = A + d.coeff(u, t) * Am
+        for i, Dm in enumerate(self.diss_mats):
+            fn = self.diss_rate_fns[i]
+            rate = self.diss_rates[i] if fn is None else fn(u)
+            A = A + rate * Dm
+        return A
+
 
 # --------------------------------------------------------------------------- #
 # OpenQuantumSystem
@@ -437,6 +531,40 @@ class OpenQuantumSystem(QuantumSystem):
             out = out + Lop @ rho @ jnp.conj(Lop).T - 0.5 * (LdL @ rho + rho @ LdL)
         return out
 
+    def solver_view(self) -> "RealGeneratorSystem":
+        """Real view including precomputed compact-Lindbladian parts.
+
+        Every Hamiltonian term contributes a constant real n^2 x n^2
+        compact generator (its coefficient multiplies linearly); each
+        dissipator contributes a unit-rate superoperator scaled by its
+        (possibly control-dependent) rate — the compact-path analogue of
+        reference open_quantum_systems.jl:541-607."""
+        base = QuantumSystem.solver_view(self)
+        n = self.levels
+        f64 = jnp.result_type(float)
+        P = iso_mod.density_projection_matrix(n)
+        Lf = iso_mod.density_lift_matrix(n)
+
+        def compact_h(X):
+            return jnp.asarray(
+                P @ iso_mod.iso(-1j * iso_mod.ad_vec(X)) @ Lf, f64)
+
+        lind_drift = tuple(compact_h(t.H) for t in self.drift_terms)
+        lind_drives = tuple(compact_h(d.H) for d in self.drive_terms)
+        diss_mats, diss_rates, diss_fns = [], [], []
+        for d in self.dissipators:
+            diss_mats.append(jnp.asarray(P @ iso_mod.iso_D(d.L) @ Lf, f64))
+            if isinstance(d, NonlinearDissipator):
+                diss_rates.append(jnp.zeros(()))
+                diss_fns.append(d.rate_fn)
+            else:
+                diss_rates.append(jnp.asarray(d.rate, f64))
+                diss_fns.append(None)
+        return base.replace(
+            lind_drift=lind_drift, lind_drives=lind_drives,
+            diss_mats=tuple(diss_mats), diss_rates=tuple(diss_rates),
+            diss_rate_fns=tuple(diss_fns))
+
 
 # --------------------------------------------------------------------------- #
 # VariationalQuantumSystem
@@ -476,6 +604,12 @@ class VariationalQuantumSystem(QuantumSystem):
         """Block-triangular variational generator acting on stacked
         [base; sensitivity_1; ...] iso states (isomorphisms.var_G)."""
         return iso_mod.var_G(self.G(u, t), self.G_vars())
+
+    def solver_view(self) -> "RealGeneratorSystem":
+        base = QuantumSystem.solver_view(self)
+        f64 = jnp.result_type(float)
+        return base.replace(
+            var_blocks=tuple(jnp.asarray(Gv, f64) for Gv in self.G_vars()))
 
 
 # --------------------------------------------------------------------------- #

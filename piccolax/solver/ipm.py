@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.pytree import pytree_dataclass
-from .kkt import block_ldl_factor, block_ldl_solve
+from .kkt import qd_factor, qd_solve
 from .nlp import CollocationNLP, nlp_constraint_residuals, nlp_total_cost
 
 __all__ = ["IPMOptions", "IPMState", "solve_nlp", "solve_nlp_traced"]
@@ -301,8 +301,6 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         vec = jnp.concatenate(parts)
         return jnp.max(jnp.abs(vec)), jnp.linalg.norm(vec)
 
-    n_neg_target = N * m      # inactive rows carry a -1 diagonal: still negative
-
     def body(s: IPMState) -> IPMState:
         Z, g, lam = s.Z, s.g, s.lam
         mu = s.mu
@@ -392,66 +390,55 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
                 - jnp.where(ghasU, mu / ggapU, 0.0)
 
         lam_reg = o.delta_c + (1.0 - row_act)
-        # upper[k] couples block k -> k+1: only (lambda_k, z_{k+1}) = Cnext_k
-        upper = jnp.zeros((N - 1, mb, mb), f64)
-        upper = upper.at[:, dz:, :dz].set(Cnext[:-1])
-        rhs = jnp.concatenate([a, -c], axis=1)          # [N, mb]
-
-        def build_diag_W(Wmat, delta_w):
-            blocks = jnp.zeros((N, mb, mb), f64)
-            Wreg = Wmat.at[:, jnp.arange(dz), jnp.arange(dz)].add(delta_w)
-            blocks = blocks.at[:, :dz, :dz].set(Wreg)
-            blocks = blocks.at[:, :dz, dz:].set(jnp.swapaxes(Cself, -1, -2))
-            blocks = blocks.at[:, dz:, :dz].set(Cself)
-            blocks = blocks.at[:, dz + jnp.arange(m),
-                               dz + jnp.arange(m)].set(-lam_reg)
-            return blocks
+        Cn = Cnext[:-1]                                 # [N-1, m, dz]
 
         # -- two-direction strategy ----------------------------------------- #
         # A: exact Newton on the full indefinite KKT (quadratic tail), kept
-        #    only if it passes a positive-curvature test (inertia-free, no
-        #    eigen-counting on huge-dynamic-range Schur blocks).
+        #    only if the quasidefinite factorization goes through (primal
+        #    block PD along the Schur recursion) AND it passes a
+        #    positive-curvature test.
         # B: globally-robust fallback with the eigenvalue-clamped (PD)
         #    Lagrangian Hessian — always a descent direction.
         # Both get a parallel Armijo line search; the better merit wins.
         # Fixed two factorizations per iteration: static shapes, no ladder.
         def make_solver(Wmat):
-            """Factor the KKT with Hessian block Wmat; return a solver
+            """Factor the quasidefinite block-tridiagonal KKT with primal
+            Hessian block Wmat; return a solver
             (rz [N,dz], rc [N,m], bg [dg]) -> (dZ, dlam, dgs) reusable for
-            second-order corrections. One step of iterative refinement
-            recovers accuracy lost to float32 factorization (the TPU path
-            runs f32; refinement costs one extra triangular sweep)."""
-            diag = build_diag_W(Wmat, 0.0)
-            Dts, _, _ = block_ldl_factor(diag, upper)
+            second-order corrections. Matmul-only linear algebra (kkt.py
+            `qd_factor`): MXU-friendly and the only formulation that
+            compiles in emulated float64 on TPU. NaNs signal a non-PD
+            primal block (the caller's direction-validity test). One step
+            of iterative refinement recovers the accuracy lost to the
+            explicit triangular inverses at float32."""
+            factors = qd_factor(Wmat, Cself, lam_reg, Cn)
 
-            def K_matvec(w):
-                out = jnp.einsum("kab,kb->ka", diag, w)
-                out = out.at[:-1].add(jnp.einsum("kab,kb->ka", upper, w[1:]))
-                out = out.at[1:].add(
-                    jnp.einsum("kba,kb->ka", upper, w[:-1]))
-                return out
+            def K_matvec(w):                            # w [N, mb, r]
+                wz, wl = w[:, :dz], w[:, dz:]
+                oz = Wmat @ wz + jnp.swapaxes(Cself, -1, -2) @ wl
+                oz = oz.at[1:].add(jnp.swapaxes(Cn, -1, -2) @ wl[:-1])
+                ol = Cself @ wz - lam_reg[..., None] * wl
+                ol = ol.at[:-1].add(Cn @ wz[1:])
+                return jnp.concatenate([oz, ol], axis=1)
 
-            def ldl_solve_refined(r):
-                w = block_ldl_solve(Dts, upper, r)
-                if r.ndim == 2:
-                    res = r - K_matvec(w)
-                    w = w + block_ldl_solve(Dts, upper, res)
-                else:  # [N, mb, ncols]
-                    res = r - jnp.stack(
-                        [K_matvec(w[..., i]) for i in range(r.shape[-1])],
-                        axis=-1)
-                    w = w + block_ldl_solve(Dts, upper, res)
-                return w
+            def kkt_solve(r):
+                squeeze = r.ndim == 2
+                if squeeze:
+                    r = r[..., None]
+                w = qd_solve(factors, Cself, Cn, r, dz)
+                w = w + qd_solve(factors, Cself, Cn, r - K_matvec(w), dz)
+                return w[..., 0] if squeeze else w
+
             if dg:
                 P = jnp.concatenate([Cz, Jg], axis=1)   # [N, mb, dg]
-                Xcols = block_ldl_solve(Dts, upper, P)
+                Xcols = kkt_solve(P)
                 Schur_g = Wg - jnp.einsum("kbg,kbh->gh", P, Xcols)
                 ew, EV = jnp.linalg.eigh(0.5 * (Schur_g + Schur_g.T))
                 ew = jnp.maximum(ew, 1e-10)
 
                 def solve(rz, rc, bg):
                     r = jnp.concatenate([rz, rc], axis=1)
-                    w0 = block_ldl_solve(Dts, upper, r)
+                    w0 = kkt_solve(r)
                     rhs_g = bg - jnp.einsum("kbg,kb->g", P, w0)
                     dgs_ = EV @ ((EV.T @ rhs_g) / ew)
                     w = w0 - jnp.einsum("kbg,g->kb", Xcols, dgs_)
@@ -459,7 +446,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             else:
                 def solve(rz, rc, bg):
                     r = jnp.concatenate([rz, rc], axis=1)
-                    w = block_ldl_solve(Dts, upper, r)
+                    w = kkt_solve(r)
                     return w[:, :dz], w[:, dz:], jnp.zeros(0, f64)
             return solve
 
@@ -477,6 +464,12 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         solveA = make_solver(Wzz)
         dZA, dlamA, dgsA = solveA(a, -c, bg0)
         okA = curvature_ok(Wzz, dZA, dlamA, dgsA)
+        # Sanitize: the quasidefinite factorization signals an indefinite
+        # primal block with NaNs, which must not leak into the merit
+        # penalty (nu) or the SOC right-hand sides.
+        dZA = jnp.where(okA, dZA, 0.0)
+        dlamA = jnp.where(okA, dlamA, 0.0)
+        dgsA = jnp.where(okA, dgsA, 0.0)
 
         # -- second-order corrected step S ---------------------------------- #
         # (i) Mehrotra-style complementarity corrector: push the dZ*dzL
@@ -505,11 +498,20 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             JdZ1 = JdZ1 + jnp.einsum("kmg,g->km", Jg, dgsA)
         q2 = c_soc - c - JdZ1                # quadratic constraint remainder
         dZS, dlamS, dgsS = solveA(a_corr, -c - q2, b_corr)
-        okS = okA & jnp.all(jnp.isfinite(dZS)) & jnp.all(jnp.isfinite(dlamS))
+        okS = okA & jnp.all(jnp.isfinite(dZS)) & jnp.all(jnp.isfinite(dlamS)) \
+            & jnp.all(jnp.isfinite(dgsS))
+        dZS = jnp.where(okS, dZS, 0.0)
+        dlamS = jnp.where(okS, dlamS, 0.0)
+        dgsS = jnp.where(okS, dgsS, 0.0)
 
-        # clamped-PD fallback Hessian
+        # clamped-PD fallback Hessian (relative floor: an absolute 1e-8
+        # clamp leaves the block with condition ~1e10+, which poisons the
+        # downstream Schur products even in f64)
         ewB, EVB = jnp.linalg.eigh(Hext[:, :dz, :dz])
-        HB = jnp.einsum("kij,kj,klj->kil", EVB, jnp.maximum(ewB, 1e-8), EVB)
+        ewB_floor = 1e-6 * jnp.maximum(
+            1.0, jnp.max(jnp.abs(ewB), axis=-1, keepdims=True))
+        HB = jnp.einsum("kij,kj,klj->kil", EVB,
+                        jnp.maximum(ewB, ewB_floor), EVB)
         WzzB = HB.at[:, jnp.arange(dz), jnp.arange(dz)].add(SigL + SigU)
         dZB, dlamB, dgsB = make_solver(WzzB)(a, -c, bg0)
         okB = jnp.all(jnp.isfinite(dZB)) & jnp.all(jnp.isfinite(dlamB)) \
@@ -693,32 +695,42 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             Z=Z_new, g=g_new, lam=lam_new, zL=zL_new, zU=zU_new,
             gL=gL_new, gU=gU_new, mu=mu, nu=nu,
             it=s.it + 1, converged=converged, kkt_err=kkt0, alpha=alpha,
-            delta_used=delta_used, f_prev=f_now, stagnant=stagnant)
+            delta_used=delta_used
+            + 10.0 * okA.astype(f64) + 100.0 * okB.astype(f64)
+            + 1000.0 * anyB.astype(f64),
+            f_prev=f_now, stagnant=stagnant)
 
     return state, body
 
 
 def solve_nlp(nlp: CollocationNLP, params, Z0, g0=None,
               options: IPMOptions = IPMOptions()) -> IPMState:
-    """Solve the collocation NLP from (Z0, g0). Fully jittable/vmappable."""
-    state, body = _setup(nlp, params, Z0, g0, options)
+    """Solve the collocation NLP from (Z0, g0). Fully jittable/vmappable.
 
-    def cond(s: IPMState):
-        return (s.it < options.max_iter) & (~s.converged)
+    Traced under full-float32 matmul precision: the TPU MXU's default
+    bf16-input dot passes destroy the KKT factorization accuracy, so the
+    solver opts every dot/einsum it traces into the 6-pass f32 path
+    (no-op on CPU and in float64)."""
+    with jax.default_matmul_precision("float32"):
+        state, body = _setup(nlp, params, Z0, g0, options)
 
-    return jax.lax.while_loop(cond, body, state)
+        def cond(s: IPMState):
+            return (s.it < options.max_iter) & (~s.converged)
+
+        return jax.lax.while_loop(cond, body, state)
 
 
 def solve_nlp_traced(nlp: CollocationNLP, params, Z0, g0=None,
                      options: IPMOptions = IPMOptions()):
     """Like solve_nlp but runs exactly max_iter scan steps and returns
     (state, history dict) for convergence diagnostics."""
-    state0, body = _setup(nlp, params, Z0, g0, options)
+    with jax.default_matmul_precision("float32"):
+        state0, body = _setup(nlp, params, Z0, g0, options)
 
-    def step(s, _):
-        s_new = jax.lax.cond(s.converged, lambda x: x, body, s)
-        return s_new, {"kkt": s_new.kkt_err, "mu": s_new.mu,
-                       "alpha": s_new.alpha, "nu": s_new.nu,
-                       "delta": s_new.delta_used}
+        def step(s, _):
+            s_new = jax.lax.cond(s.converged, lambda x: x, body, s)
+            return s_new, {"kkt": s_new.kkt_err, "mu": s_new.mu,
+                           "alpha": s_new.alpha, "nu": s_new.nu,
+                           "delta": s_new.delta_used}
 
-    return jax.lax.scan(step, state0, None, length=options.max_iter)
+        return jax.lax.scan(step, state0, None, length=options.max_iter)

@@ -29,6 +29,10 @@ __all__ = [
     "block_ldl_factor",
     "block_ldl_solve",
     "cyclic_reduction_solve",
+    "tri_lower_inv",
+    "spd_inv",
+    "qd_factor",
+    "qd_solve",
 ]
 
 
@@ -268,3 +272,180 @@ def cyclic_reduction_solve(diag, upper, rhs, max_levels: int | None = None):
 
     x = x[:N]
     return x[..., 0] if squeeze else x
+
+
+# --------------------------------------------------------------------------- #
+# Quasidefinite block-tridiagonal factorization (the TPU production path)
+# --------------------------------------------------------------------------- #
+#
+# The inertia-regularized IPM KKT blocks are symmetric QUASIDEFINITE
+# (Vanderbei): Dt_k = [[P_k, C_k^T], [C_k, -R_k]] with P_k > 0 (primal
+# Hessian + barrier Sigma + inertia shift) and R_k > 0 (constraint-row
+# regularization). Quasidefinite matrices factor stably WITHOUT pivoting,
+# and the block-tridiagonal Schur recursion preserves the structure: the
+# coupling U_k = [[0, 0], [Cnext_k, 0]] only corrects the primal block by
+# Cnext^T (-(Dt^{-1})_{ll}) Cnext, and the (l, l) block of a quasidefinite
+# inverse is negative definite, so the correction is PSD and P stays PD.
+#
+# Each block therefore factors with TWO CHOLESKYS (P_eff and the dual
+# Schur complement S = R + C P_eff^{-1} C^T) instead of a pivoted dense
+# LDL — replacing Ipopt's MUMPS/HSL pivoting (SURVEY.md section 3.2).
+# Triangular factors are explicitly inverted with matmul-only nilpotent
+# doubling so every solve is a batched matmul: this is both the
+# MXU-friendly formulation and the only one that compiles in emulated
+# float64 on TPU (LU / triangular_solve / eigh are f32-only there).
+
+
+def tri_lower_inv(L):
+    """Inverse of lower-triangular L [..., m, m] via nilpotent doubling.
+
+    L = D(I + N) with N strictly lower (nilpotent, N^m = 0), so
+    (I + N)^{-1} = prod_j (I + (-N)^(2^j)) — ceil(log2 m) matmuls,
+    no triangular_solve / LU (unsupported in f64 on TPU).
+    """
+    import math
+
+    m = L.shape[-1]
+    eye = jnp.eye(m, dtype=L.dtype)
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    N = L / d[..., :, None] - eye              # strictly lower
+    X = -N
+    acc = eye + X
+    p = X
+    for _ in range(max(0, math.ceil(math.log2(max(m, 2))) - 1)):
+        p = p @ p
+        acc = acc + acc @ p
+    return acc / d[..., None, :]               # (I+N)^{-1} D^{-1}
+
+
+def chol_inv_factor(A):
+    """Xi with A^{-1} = Xi^T @ Xi for SPD A [..., m, m].
+
+    Jacobi-equilibrated (unit diagonal) before the Cholesky so the
+    factorization stays accurate in float32 even when barrier terms give
+    the diagonal a huge dynamic range (Sigma ~ mu/gap^2 near active
+    bounds). Returns NaNs if A is not numerically PD (Cholesky of an
+    indefinite matrix yields NaN on XLA) — callers use this as the PD
+    test.
+    """
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(A, axis1=-2, axis2=-1), 1e-300))
+    As = A / d[..., :, None] / d[..., None, :]
+    L = jnp.linalg.cholesky(As)
+    Li = tri_lower_inv(L)
+    return Li / d[..., None, :]
+
+
+def spd_inv(A):
+    """Explicit inverse of SPD A via `chol_inv_factor` (NaN if not PD)."""
+    Xi = chol_inv_factor(A)
+    return jnp.swapaxes(Xi, -1, -2) @ Xi
+
+
+def qd_factor(P, C, Rdiag, Cnext):
+    """Factor the quasidefinite block-tridiagonal KKT.
+
+    Blocks: Dt_k = [[P_k, C_k^T], [C_k, -diag(Rdiag_k)]], coupling
+    S[k, k+1] = [[0, 0], [Cnext_k, 0]] (constraint rows of knot k touch
+    z_{k+1}).
+
+    P [N, dz, dz], C [N, m, dz], Rdiag [N, m], Cnext [N-1, m, dz].
+    Returns (Pinv [N, dz, dz], Sinv [N, m, m]) with P effective
+    (Schur-updated along the knot recursion). NaNs signal a non-PD P_eff
+    (exact-Hessian direction rejected by the caller).
+    """
+    N, m, dz = C.shape
+
+    def block(P_eff, C_k, R_k):
+        # Gram-structured Schur complement: S = Y Y^T + diag(R) with
+        # Y = C L^{-T} is numerically PSD by construction (a floating-
+        # point Gram product's error is bounded relative to its own
+        # diagonal), unlike C Pinv C^T via the explicit inverse, whose
+        # rounding (~eps * ||C||^2 * ||Pinv||) pushes tiny eigenvalues
+        # negative and NaNs the Cholesky when P is ill-conditioned.
+        Xi = chol_inv_factor(P_eff)                   # Pinv = Xi^T Xi
+        Pinv = jnp.swapaxes(Xi, -1, -2) @ Xi
+        Y = C_k @ jnp.swapaxes(Xi, -1, -2)
+        S = Y @ jnp.swapaxes(Y, -1, -2)
+        S = S.at[jnp.arange(m), jnp.arange(m)].add(R_k)
+        Zi = chol_inv_factor(0.5 * (S + jnp.swapaxes(S, -1, -2)))
+        Sinv = jnp.swapaxes(Zi, -1, -2) @ Zi
+        return Pinv, Sinv, Zi
+
+    Pinv0, Sinv0, Zi0 = block(P[0], C[0], Rdiag[0])
+    if N == 1:
+        return Pinv0[None], Sinv0[None]
+
+    def step(carry, inputs):
+        Zi_prev = carry
+        P_k, C_k, R_k, Cn_prev = inputs
+        # P_eff = P + Cn^T Sinv Cn as a Gram product (same PSD argument)
+        W = Zi_prev @ Cn_prev
+        P_eff = P_k + jnp.swapaxes(W, -1, -2) @ W
+        Pinv, Sinv, Zi = block(P_eff, C_k, R_k)
+        return Zi, (Pinv, Sinv)
+
+    _, (Pinvs, Sinvs) = jax.lax.scan(
+        step, Zi0, (P[1:], C[1:], Rdiag[1:], Cnext))
+    return (jnp.concatenate([Pinv0[None], Pinvs], axis=0),
+            jnp.concatenate([Sinv0[None], Sinvs], axis=0))
+
+
+def _qd_block_apply(Pinv, Sinv, C, a, b):
+    """Apply Dt^{-1} to (a [dz(,r)], b [m(,r)]) for one knot:
+    x = Pinv(a - C^T y), y = Sinv(C Pinv a - b)."""
+    t = Pinv @ a
+    y = Sinv @ (C @ t - b)
+    x = t - Pinv @ (jnp.swapaxes(C, -1, -2) @ y)
+    return x, y
+
+
+def qd_solve(factors, C, Cnext, rhs, dz):
+    """Solve the quasidefinite block-tridiagonal system.
+
+    factors from `qd_factor`; rhs [N, mb] or [N, mb, r] ordered (z, lam)
+    per knot. All operations are batched matmuls.
+    """
+    Pinv, Sinv = factors
+    squeeze = rhs.ndim == 2
+    if squeeze:
+        rhs = rhs[..., None]
+    N = rhs.shape[0]
+
+    # forward sweep: y_k = r_k - U_{k-1}^T Dt_{k-1}^{-1} y_{k-1}
+    # (U^T w)_z = Cnext^T w_lam, zero on lam rows.
+    def fwd(y_prev, inputs):
+        r_k, Pinv_p, Sinv_p, C_p, Cn_p = inputs
+        _, w_lam = _qd_block_apply(Pinv_p, Sinv_p, C_p,
+                                   y_prev[:dz], y_prev[dz:])
+        y_k = r_k.at[:dz].add(-jnp.swapaxes(Cn_p, -1, -2) @ w_lam)
+        return y_k, y_k
+
+    if N == 1:
+        ys = rhs
+    else:
+        _, rest = jax.lax.scan(
+            fwd, rhs[0],
+            (rhs[1:], Pinv[:-1], Sinv[:-1], C[:-1], Cnext))
+        ys = jnp.concatenate([rhs[0][None], rest], axis=0)
+
+    # backward sweep: x_k = Dt_k^{-1} (y_k - U_k x_{k+1});
+    # (U x)_lam = Cnext_k x_{z, k+1}.
+    xz_l, xl_l = _qd_block_apply(Pinv[-1], Sinv[-1], C[-1],
+                                 ys[-1][:dz], ys[-1][dz:])
+    x_last = jnp.concatenate([xz_l, xl_l], axis=0)
+
+    def bwd(x_next, inputs):
+        y_k, Pinv_k, Sinv_k, C_k, Cn_k = inputs
+        b_corr = y_k[dz:] - Cn_k @ x_next[:dz]
+        xz, xl = _qd_block_apply(Pinv_k, Sinv_k, C_k, y_k[:dz], b_corr)
+        x_k = jnp.concatenate([xz, xl], axis=0)
+        return x_k, x_k
+
+    if N == 1:
+        xs = x_last[None]
+    else:
+        _, rest = jax.lax.scan(
+            bwd, x_last, (ys[:-1], Pinv[:-1], Sinv[:-1], C[:-1], Cnext),
+            reverse=True)
+        xs = jnp.concatenate([rest, x_last[None]], axis=0)
+    return xs[..., 0] if squeeze else xs
