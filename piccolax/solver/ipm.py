@@ -62,6 +62,11 @@ class IPMOptions:
     acceptable_tol: float = 1e-3
     acceptable_obj_change: float = 1e-5
     acceptable_iter: int = 10
+    # KKT linear-solver backend: "jax" (matmul-only quasidefinite
+    # factorization, the TPU production path) or "native" (C++ exact-
+    # Cholesky host library via pure_callback — the Ipopt/MadNLP-style
+    # second backend, CPU runs only).
+    kkt_backend: str = "jax"
 
 
 @pytree_dataclass
@@ -411,23 +416,33 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             primal block (the caller's direction-validity test). One step
             of iterative refinement recovers the accuracy lost to the
             explicit triangular inverses at float32."""
-            factors = qd_factor(Wmat, Cself, lam_reg, Cn)
+            if o.kkt_backend == "native":
+                from .native_kkt import qd_solve_callback
 
-            def K_matvec(w):                            # w [N, mb, r]
-                wz, wl = w[:, :dz], w[:, dz:]
-                oz = Wmat @ wz + jnp.swapaxes(Cself, -1, -2) @ wl
-                oz = oz.at[1:].add(jnp.swapaxes(Cn, -1, -2) @ wl[:-1])
-                ol = Cself @ wz - lam_reg[..., None] * wl
-                ol = ol.at[:-1].add(Cn @ wz[1:])
-                return jnp.concatenate([oz, ol], axis=1)
+                def kkt_solve(r):
+                    squeeze = r.ndim == 2
+                    if squeeze:
+                        r = r[..., None]
+                    w = qd_solve_callback(Wmat, Cself, lam_reg, Cn, r)
+                    return w[..., 0] if squeeze else w
+            else:
+                factors = qd_factor(Wmat, Cself, lam_reg, Cn)
 
-            def kkt_solve(r):
-                squeeze = r.ndim == 2
-                if squeeze:
-                    r = r[..., None]
-                w = qd_solve(factors, Cself, Cn, r, dz)
-                w = w + qd_solve(factors, Cself, Cn, r - K_matvec(w), dz)
-                return w[..., 0] if squeeze else w
+                def K_matvec(w):                        # w [N, mb, r]
+                    wz, wl = w[:, :dz], w[:, dz:]
+                    oz = Wmat @ wz + jnp.swapaxes(Cself, -1, -2) @ wl
+                    oz = oz.at[1:].add(jnp.swapaxes(Cn, -1, -2) @ wl[:-1])
+                    ol = Cself @ wz - lam_reg[..., None] * wl
+                    ol = ol.at[:-1].add(Cn @ wz[1:])
+                    return jnp.concatenate([oz, ol], axis=1)
+
+                def kkt_solve(r):
+                    squeeze = r.ndim == 2
+                    if squeeze:
+                        r = r[..., None]
+                    w = qd_solve(factors, Cself, Cn, r, dz)
+                    w = w + qd_solve(factors, Cself, Cn, r - K_matvec(w), dz)
+                    return w[..., 0] if squeeze else w
 
             if dg:
                 P = jnp.concatenate([Cz, Jg], axis=1)   # [N, mb, dg]
