@@ -63,8 +63,8 @@ class UnitaryInfidelityObjective(_ObjectiveBase):
         goal = params["goal"][self.state_name]     # iso-vec [2n^2]
         if self.subspace is not None:
             idx = self._sub_idx(x)
-            return dyn.pedersen_fidelity_iso(x[idx], goal[idx])
-        return dyn.unitary_fidelity_iso(x, goal)
+            return dyn.pedersen_fidelity_iso_bounded(x[idx], goal[idx], x)
+        return dyn.unitary_fidelity_iso_bounded(x, goal)
 
     def stage_cost(self, k, get, g, params, N):
         F = self.fidelity(get(self.state_name), params)
@@ -93,13 +93,13 @@ class UnitaryFreePhaseInfidelityObjective(UnitaryInfidelityObjective):
             ang = dyn.free_phase_angles(phases, self.n_qubits, m)
             goal_rot = iso.apply_row_phase_iso(goal_sub, jnp.cos(ang),
                                                jnp.sin(ang))
-            F = dyn.pedersen_fidelity_iso(x_sub, goal_rot)
+            F = dyn.pedersen_fidelity_iso_bounded(x_sub, goal_rot, x)
         else:
             m = int(round(np.sqrt(x.shape[-1] // 2)))
             ang = dyn.free_phase_angles(phases, self.n_qubits, m)
             goal_rot = iso.apply_row_phase_iso(goal, jnp.cos(ang),
                                                jnp.sin(ang))
-            F = dyn.unitary_fidelity_iso(x, goal_rot)
+            F = dyn.unitary_fidelity_iso_bounded(x, goal_rot)
         return _terminal(k, N, self.Q * (1.0 - F))
 
 
@@ -111,8 +111,8 @@ class KetInfidelityObjective(_ObjectiveBase):
         self.Q = Q
 
     def stage_cost(self, k, get, g, params, N):
-        F = dyn.fidelity_iso(get(self.state_name),
-                             params["goal"][self.state_name])
+        F = dyn.fidelity_iso_bounded(get(self.state_name),
+                                     params["goal"][self.state_name])
         return _terminal(k, N, self.Q * (1.0 - F))
 
 
@@ -125,12 +125,17 @@ class CoherentKetInfidelityObjective(_ObjectiveBase):
         self.Q = Q
 
     def _F(self, get, g, params):
-        re = im = 0.0
+        re = im = nrm2 = 0.0
         K = len(self.state_names)
         for nm in self.state_names:
-            r, i = iso.iso_inner(params["goal"][nm], get(nm))
+            x = get(nm)
+            r, i = iso.iso_inner(params["goal"][nm], x)
             re, im = re + r, im + i
-        return (re ** 2 + im ** 2) / K ** 2
+            nrm2 = nrm2 + jnp.sum(x ** 2)
+        # bounded coherent overlap: |sum <g_i|psi_i>|^2 / (K sum ||psi_i||^2)
+        # <= 1 by Cauchy-Schwarz; equals the raw coherent fidelity on the
+        # unit-norm manifold (see dynamics.fidelity_iso_bounded rationale)
+        return (re ** 2 + im ** 2) / (K * jnp.maximum(nrm2, 1e-12))
 
     def stage_cost(self, k, get, g, params, N):
         return _terminal(k, N, self.Q * (1.0 - self._F(get, g, params)))
@@ -148,7 +153,7 @@ class CoherentKetFreePhaseInfidelityObjective(CoherentKetInfidelityObjective):
 
     def _F(self, get, g, params):
         phases = self.gview(g)
-        re = im = 0.0
+        re = im = nrm2 = 0.0
         K = len(self.state_names)
         for nm in self.state_names:
             goal = params["goal"][nm]
@@ -156,9 +161,11 @@ class CoherentKetFreePhaseInfidelityObjective(CoherentKetInfidelityObjective):
             ang = dyn.free_phase_angles(phases, self.n_qubits, m)
             goal_rot = iso.apply_row_phase_iso(goal, jnp.cos(ang),
                                                jnp.sin(ang))
-            r, i = iso.iso_inner(goal_rot, get(nm))
+            x = get(nm)
+            r, i = iso.iso_inner(goal_rot, x)
             re, im = re + r, im + i
-        return (re ** 2 + im ** 2) / K ** 2
+            nrm2 = nrm2 + jnp.sum(x ** 2)
+        return (re ** 2 + im ** 2) / (K * jnp.maximum(nrm2, 1e-12))
 
 
 class DensityInfidelityObjective(_ObjectiveBase):

@@ -165,7 +165,7 @@ def SmoothPulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
                        du_bound: float = 1.0, ddu_bound: float = 1.0,
                        dt_bounds=None, timesteps_all_equal: bool = True,
                        zero_initial_and_final_derivative: bool = False,
-                       state_bound=None, pade_order: int = 7,
+                       state_bound=1.0, pade_order: int = 7,
                        leakage_indices=None, leakage_cost: float = 0.0,
                        leakage_value=None,
                        extra_objectives=(), extra_constraints=()):
@@ -191,7 +191,7 @@ def SmoothPulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
 def SplinePulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
                        R_u=None, R_du=None, du_bound: float = 1.0,
                        dt_bounds=None, timesteps_all_equal: bool = True,
-                       state_bound=None, pade_order: int = 7,
+                       state_bound=1.0, pade_order: int = 7,
                        leakage_indices=None, leakage_cost: float = 0.0,
                        leakage_value=None,
                        extra_objectives=(), extra_constraints=()):
@@ -249,7 +249,7 @@ def SplinePulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
 def BangBangPulseProblem(qtraj, N=None, *, Q: float = 100.0,
                          R: float = 1e-2, R_bang: float = 1.0,
                          du_bound: float = 1.0, dt_bounds=None,
-                         state_bound=None, pade_order: int = 7,
+                         state_bound=1.0, pade_order: int = 7,
                          extra_objectives=(), extra_constraints=()):
     """L1 penalty on du via exact slack reformulation to promote few-switch
     bang-bang pulses (reference: bang_bang_pulse_problem.jl:147-424)."""

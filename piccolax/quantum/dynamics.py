@@ -150,6 +150,45 @@ def density_fidelity_iso(x_compact, goal_compact):
     return jnp.sum(x_compact * goal_compact, axis=-1)
 
 
+# -- bounded (normalized-overlap) variants for NLP objectives ---------------- #
+# The raw overlap fidelities are UNBOUNDED above for unnormalized states
+# (|tr(U^dag Ug)|^2 grows without limit off the unitary manifold), which
+# gives the collocation NLP a spurious objective basin reachable through
+# infeasible territory — fatal for any merit-based globalization. The
+# bounded variants divide by the state norm (Cauchy-Schwarz => F <= 1
+# everywhere) and coincide EXACTLY with the raw fidelity on the feasible
+# manifold (where dynamics constraints enforce unit norm), so converged
+# solutions match the reference's objective values.
+
+
+def fidelity_iso_bounded(psi_iso, goal_iso):
+    """|<psi|goal>|^2 / ||psi||^2 (goal assumed normalized)."""
+    re, im = iso.iso_inner(psi_iso, goal_iso)
+    n2 = jnp.maximum(jnp.sum(psi_iso ** 2, axis=-1), 1e-12)
+    return (re ** 2 + im ** 2) / n2
+
+
+def unitary_fidelity_iso_bounded(x_iso, goal_iso):
+    """|tr(U^dag Ug)|^2 / (n ||U||_F^2): equals unitary_fidelity_iso when
+    ||U||_F^2 = n (true on the dynamics manifold)."""
+    n = int(round(np.sqrt(x_iso.shape[-1] // 2)))
+    re, im = iso.iso_vec_inner(x_iso, goal_iso)
+    nrm2 = jnp.maximum(jnp.sum(x_iso ** 2, axis=-1), 1e-12)
+    return (re ** 2 + im ** 2) / (n * nrm2)
+
+
+def pedersen_fidelity_iso_bounded(x_sub_iso, goal_sub_iso, x_full_iso):
+    """Pedersen subspace fidelity scaled by n_full / ||U_full||_F^2.
+
+    F(gamma U) = gamma^2 F(U), so dividing by the full-state norm bounds
+    the objective (F <= n_full / n_sub) while preserving both the on-
+    manifold value and the leakage semantics (the subspace-vs-leakage
+    norm distribution is untouched)."""
+    n_full = int(round(np.sqrt(x_full_iso.shape[-1] // 2)))
+    nrm2 = jnp.maximum(jnp.sum(x_full_iso ** 2, axis=-1), 1e-12)
+    return pedersen_fidelity_iso(x_sub_iso, goal_sub_iso) * n_full / nrm2
+
+
 # --------------------------------------------------------------------------- #
 # Propagator construction
 # --------------------------------------------------------------------------- #

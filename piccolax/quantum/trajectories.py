@@ -488,7 +488,7 @@ def _boundary_or_none(value):
     return np.nan_to_num(v)
 
 
-def discretize(qtraj, N_or_times=None, *, dt_bounds=None, state_bound=None,
+def discretize(qtraj, N_or_times=None, *, dt_bounds=None, state_bound=1.0,
                drive_name=None):
     """Convert a quantum trajectory into a knot `Trajectory`.
 
@@ -523,11 +523,13 @@ def discretize(qtraj, N_or_times=None, *, dt_bounds=None, state_bound=None,
     goal = {}
 
     # states
-    # NOTE: no +-1 state box by default — unitarity/norm preservation of the
-    # exponential integrator already implies |iso components| <= 1, and a
-    # redundant box is degenerate-active at the solution (zero multiplier),
-    # which stalls the interior-point central path. Pass state_bound to
-    # restore the reference behavior (named_trajectory_conversion.jl:331).
+    # +-1 box on state iso components by default (reference:
+    # named_trajectory_conversion.jl:331-332). Besides parity, the box is
+    # load-bearing for globalization: the infidelity objective is unbounded
+    # below for unnormalized states, and the barrier on the box is what
+    # keeps the solver's merit bounded. Components that sit exactly on the
+    # bound at the solution (e.g. X-gate entries) stay strictly interior
+    # through the solver's bound_relax. Pass state_bound=None to disable.
     siso = qtraj.state_iso(times)
     if isinstance(qtraj, (MultiKetTrajectory, MultiDensityTrajectory)):
         giso = qtraj.goal_iso()

@@ -47,7 +47,15 @@ class IPMOptions:
     delta_w_scale: float = 10.0  # ladder growth factor
     delta_w_shrink: float = 3.0  # warm-start shrink of the last correction
     inertia_trials: int = 12     # max regularization attempts
-    delta_c: float = 1e-8        # constraint-row regularization
+    delta_c: float = 1e-8        # constraint-row regularization (f64)
+    # float32 production path (TPU): the quasidefinite recursion must keep
+    # its dynamic range inside ~1/eps32. Because the dual regularization
+    # acts as a TRAILING proximal term (the Newton rhs uses the true
+    # constraint residual and the dual reference moves with the iterate),
+    # a large delta_c damps dual steps without biasing the fixed point.
+    delta_c_f32: float = 1e-3    # constraint-row regularization (f32)
+    hess_floor: float = 1e-6     # fallback-Hessian eigenvalue floor (f64)
+    hess_floor_f32: float = 3e-3  # fallback-Hessian eigenvalue floor (f32)
     ls_iters: int = 14           # parallel backtracking candidates
     armijo_eta: float = 1e-4
     kappa_sigma: float = 1e10    # dual box safeguard
@@ -74,12 +82,13 @@ class IPMState:
     Z: jnp.ndarray          # [N, dz]
     g: jnp.ndarray          # [dg]
     lam: jnp.ndarray        # [N, m] stacked (eq; dyn) multipliers
+    lam_ref: jnp.ndarray    # [N, m] proximal multiplier reference
     zL: jnp.ndarray         # [N, dz]
     zU: jnp.ndarray         # [N, dz]
     gL: jnp.ndarray         # [dg]
     gU: jnp.ndarray         # [dg]
     mu: jnp.ndarray
-    nu: jnp.ndarray         # merit penalty
+    nu: jnp.ndarray         # merit penalty (diagnostic: max |lam_ref|)
     it: jnp.ndarray
     converged: jnp.ndarray
     kkt_err: jnp.ndarray
@@ -224,6 +233,16 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
     mb = dz + m
     f64 = Z0.dtype
     g0 = jnp.zeros(dg, f64) if g0 is None else jnp.asarray(g0, f64)
+    # dtype-aware numerics (static at trace time): float32 needs larger
+    # dual regularization and fallback-Hessian floor to keep the
+    # quasidefinite recursion's dynamic range within 1/eps32.
+    is_f32 = jnp.dtype(f64) == jnp.float32
+    delta_c = max(o.delta_c, o.delta_c_f32) if is_f32 else o.delta_c
+    hess_floor = max(o.hess_floor, o.hess_floor_f32) if is_f32 \
+        else o.hess_floor
+    # bound gaps of degenerate-active components scale as bound_relax;
+    # Sigma = z/gap ~ mu/gap^2 must stay inside f32 range
+    bound_relax = max(o.bound_relax, 1e-4) if is_f32 else o.bound_relax
 
     hasL = _finite(nlp.lo)
     hasU = _finite(nlp.hi)
@@ -233,7 +252,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
 
     # Relax bounds slightly (Ipopt bound_relax_factor) so equality-pinned
     # variables sitting exactly on a bound stay strictly interior.
-    relax = o.bound_relax
+    relax = bound_relax
     nlp = nlp.replace(
         lo=jnp.where(hasL, nlp.lo - relax * jnp.maximum(1.0, jnp.abs(nlp.lo)),
                      nlp.lo),
@@ -253,6 +272,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
     state = IPMState(
         Z=Z0, g=g0,
         lam=jnp.zeros((N, m), f64),
+        lam_ref=jnp.zeros((N, m), f64),
         zL=jnp.where(hasL, mu0 / _safe_gap(Z0, nlp.lo, hasL), 0.0),
         zU=jnp.where(hasU, mu0 / _safe_gap(nlp.hi, Z0, hasU), 0.0),
         gL=jnp.where(ghasL, mu0 / _safe_gap(g0, nlp.g_lo, ghasL), 0.0),
@@ -264,8 +284,19 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         f_prev=jnp.asarray(jnp.inf, f64), stagnant=jnp.asarray(0),
     )
 
-    def barrier_merit(Z, g, mu, nu):
-        f = nlp_total_cost(nlp, Z, g, params)
+    # Per-row dual regularization r_i (delta_c on active rows; ~1 on
+    # masked-out rows so their multipliers decay to the reference). The
+    # SHIFTED constraint c_hat_i = c_i - r_i (lam_i - lam_ref_i) is what
+    # the Newton step linearizes exactly (the -r_i entry in the KKT (2,2)
+    # block is its true Jacobian, not a perturbation), so globalization
+    # must measure c_hat, not c — otherwise every dual move of size
+    # |dlam| reads as a constraint violation r|dlam| and the line search
+    # stalls once |c| < r|dlam| (fatal for the float32 path, where r must
+    # be large). lam_ref trails the iterate (proximal point on the dual),
+    # so the fixed point still has c = 0 exactly.
+    reg_row = delta_c + (1.0 - row_act)          # [N, m]
+
+    def _barrier(Z, g, mu):
         gapL = _safe_gap(Z, nlp.lo, hasL)
         gapU = _safe_gap(nlp.hi, Z, hasU)
         bar = -mu * (jnp.sum(jnp.where(hasL, jnp.log(jnp.maximum(gapL, 1e-300)), 0.0))
@@ -276,8 +307,31 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             bar = bar - mu * (
                 jnp.sum(jnp.where(ghasL, jnp.log(jnp.maximum(ggL, 1e-300)), 0.0))
                 + jnp.sum(jnp.where(ghasU, jnp.log(jnp.maximum(ggU, 1e-300)), 0.0)))
+        return bar
+
+    def al_merit(Z, g, lam, lam_ref, mu):
+        """Gill-Robinson primal-dual augmented-Lagrangian barrier merit:
+        f + barrier + lam_ref^T c + sum_i (c_i^2 + c_hat_i^2) / (2 r_i).
+        Smooth in (Z, g, lam); the regularized-KKT Newton direction is a
+        descent direction whenever the primal block is PD. Also returns
+        the infeasibility max-norm for the theta_max guard."""
+        f = nlp_total_cost(nlp, Z, g, params)
+        bar = _barrier(Z, g, mu)
         c = nlp_constraint_residuals(nlp, Z, g, params)
-        return f + bar + nu * jnp.sum(jnp.abs(c)), c
+        ch = c - reg_row * (lam - lam_ref)
+        pen = jnp.sum((c * c + ch * ch) / (2.0 * reg_row)) \
+            + jnp.sum(lam_ref * c)
+        theta = jnp.max(jnp.abs(c)) if c.size else jnp.asarray(0.0, Z.dtype)
+        return f + bar + pen, theta
+
+    # Ipopt-style absolute infeasibility cap: with a FIXED AL penalty the
+    # merit can be unbounded below through infeasible territory (e.g. the
+    # unitary-infidelity objective decreases without bound for
+    # unnormalized states); no step may take max|c| beyond theta_max.
+    c0_init = nlp_constraint_residuals(nlp, Z0, g0, params)
+    theta0 = jnp.max(jnp.abs(c0_init)) if c0_init.size \
+        else jnp.asarray(0.0, f64)
+    theta_max = jnp.maximum(1.0, 10.0 * theta0)
 
     def full_kkt_error(Z, g, lam, zL, zU, gL, gU, mu):
         """(max-norm, 2-norm) primal-dual residual of the mu-barrier KKT
@@ -317,6 +371,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
 
         grad_z, grad_g = _gradients(nlp, Z, g, params)
         c = nlp_constraint_residuals(nlp, Z, g, params)
+        ch = c - reg_row * (lam - s.lam_ref)    # proximally shifted residual
         Cself, Cnext, Jg = _jacobians(nlp, Z, g, params)
 
         JTlam = jnp.einsum("kmz,km->kz", Cself, lam)
@@ -368,12 +423,20 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         err_comp_mu = jnp.maximum(
             jnp.maximum(_cmax(compL, hasL), _cmax(compU, hasU)),
             jnp.maximum(_cmax(gcompL, ghasL), _cmax(gcompU, ghasU)))
-        err_mu = jnp.maximum(err_dual, jnp.maximum(err_prim, err_comp_mu))
+        # the INNER (shifted) subproblem drives the barrier schedule and
+        # the proximal reference update: once it is solved to kappa_eps*mu,
+        # shrink mu and move lam_ref to the current multipliers (dual
+        # proximal-point step — this is what makes the large-delta_c f32
+        # path converge to the unshifted solution).
+        err_mu = jnp.maximum(err_dual, jnp.maximum(_max0(ch), err_comp_mu))
+        inner_done = err_mu <= o.kappa_eps * mu
         mu = jnp.where(
-            err_mu <= o.kappa_eps * mu,
+            inner_done,
             jnp.maximum(o.tol / 10.0,
                         jnp.minimum(o.kappa_mu * mu, mu ** o.theta_mu)),
             mu)
+        lam_ref = jnp.where(inner_done, lam, s.lam_ref)
+        ch = jnp.where(inner_done, c - reg_row * (lam - lam_ref), ch)
 
         # -- KKT matrix blocks --------------------------------------------- #
         Hext = _stage_hessians(nlp, Z, g, params, lam)
@@ -394,7 +457,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             b = -grad_g - JgTlam + jnp.where(ghasL, mu / ggapL, 0.0) \
                 - jnp.where(ghasU, mu / ggapU, 0.0)
 
-        lam_reg = o.delta_c + (1.0 - row_act)
+        lam_reg = reg_row
         Cn = Cnext[:-1]                                 # [N-1, m, dz]
 
         # -- two-direction strategy ----------------------------------------- #
@@ -477,7 +540,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
 
         bg0 = b if dg else jnp.zeros(0, f64)
         solveA = make_solver(Wzz)
-        dZA, dlamA, dgsA = solveA(a, -c, bg0)
+        dZA, dlamA, dgsA = solveA(a, -ch, bg0)
         okA = curvature_ok(Wzz, dZA, dlamA, dgsA)
         # Sanitize: the quasidefinite factorization signals an indefinite
         # primal block with NaNs, which must not leak into the merit
@@ -506,13 +569,16 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         else:
             b_corr = bg0
         c_soc = nlp_constraint_residuals(nlp, Z + dZA, g + dgsA, params)
+        ch_soc = c_soc - reg_row * (lam + dlamA - lam_ref)
         JdZ1 = jnp.einsum("kmz,kz->km", Cself, dZA)
         JdZ1 = JdZ1.at[:-1].add(
             jnp.einsum("kmz,kz->km", Cnext[:-1], dZA[1:]))
         if dg:
             JdZ1 = JdZ1 + jnp.einsum("kmg,g->km", Jg, dgsA)
-        q2 = c_soc - c - JdZ1                # quadratic constraint remainder
-        dZS, dlamS, dgsS = solveA(a_corr, -c - q2, b_corr)
+        # quadratic remainder of the SHIFTED constraint (linear model is
+        # ch + J dZ - reg * dlam)
+        q2 = ch_soc - ch - (JdZ1 - reg_row * dlamA)
+        dZS, dlamS, dgsS = solveA(a_corr, -ch - q2, b_corr)
         okS = okA & jnp.all(jnp.isfinite(dZS)) & jnp.all(jnp.isfinite(dlamS)) \
             & jnp.all(jnp.isfinite(dgsS))
         dZS = jnp.where(okS, dZS, 0.0)
@@ -523,12 +589,12 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         # clamp leaves the block with condition ~1e10+, which poisons the
         # downstream Schur products even in f64)
         ewB, EVB = jnp.linalg.eigh(Hext[:, :dz, :dz])
-        ewB_floor = 1e-6 * jnp.maximum(
+        ewB_floor = hess_floor * jnp.maximum(
             1.0, jnp.max(jnp.abs(ewB), axis=-1, keepdims=True))
         HB = jnp.einsum("kij,kj,klj->kil", EVB,
                         jnp.maximum(ewB, ewB_floor), EVB)
         WzzB = HB.at[:, jnp.arange(dz), jnp.arange(dz)].add(SigL + SigU)
-        dZB, dlamB, dgsB = make_solver(WzzB)(a, -c, bg0)
+        dZB, dlamB, dgsB = make_solver(WzzB)(a, -ch, bg0)
         okB = jnp.all(jnp.isfinite(dZB)) & jnp.all(jnp.isfinite(dlamB)) \
             & jnp.all(jnp.isfinite(dgsB))
         dZB = jnp.where(okB, dZB, 0.0)
@@ -543,52 +609,67 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
                               -tau * gap / jnp.where(d < 0, d, -1.0), jnp.inf)
             return jnp.minimum(1.0, jnp.min(ratio) if ratio.size else jnp.inf)
 
-        def barrier_dderiv(dZ_, dgs_):
-            val = jnp.sum((grad_z - jnp.where(hasL, mu / gapL, 0.0)
-                           + jnp.where(hasU, mu / gapU, 0.0)) * dZ_)
+        # -- AL merit: gradient and parallel Armijo line search ------------- #
+        # The merit moves (Z, g, lam) jointly; its exact gradient is cheap
+        # from pieces already computed:
+        #   grad_Z M = grad_z + barrier' + C^T (lam_ref + (c + ch)/reg)
+        #   grad_g M = grad_g + barrier' + Jg^T (same vector)
+        #   grad_lam M = -ch
+        w_pen = lam_ref + (c + ch) / reg_row
+        CTw = jnp.einsum("kmz,km->kz", Cself, w_pen)
+        CTw = CTw.at[1:].add(jnp.einsum("kmz,km->kz", Cnext[:-1], w_pen[:-1]))
+        gradM_z = grad_z - jnp.where(hasL, mu / gapL, 0.0) \
+            + jnp.where(hasU, mu / gapU, 0.0) + CTw
+        if dg:
+            gradM_g = grad_g - jnp.where(ghasL, mu / ggapL, 0.0) \
+                + jnp.where(ghasU, mu / ggapU, 0.0) \
+                + jnp.einsum("kmg,km->g", Jg, w_pen)
+        else:
+            gradM_g = jnp.zeros(0, f64)
+
+        def merit_dderiv(dZ_, dgs_, dlam_):
+            val = jnp.sum(gradM_z * dZ_) - jnp.sum(ch * dlam_)
             if dg:
-                val = val + jnp.sum(
-                    (grad_g - jnp.where(ghasL, mu / ggapL, 0.0)
-                     + jnp.where(ghasU, mu / ggapU, 0.0)) * dgs_)
+                val = val + jnp.sum(gradM_g * dgs_)
             return val
 
-        normc = jnp.sum(jnp.abs(c))
-        dphiA = barrier_dderiv(dZA, dgsA)
-        dphiS = barrier_dderiv(dZS, dgsS)
-        dphiB = barrier_dderiv(dZB, dgsB)
-        nu_req = jnp.where(
-            normc > 1e-12,
-            jnp.maximum(jnp.abs(dphiA), jnp.abs(dphiB))
-            / jnp.maximum(0.5 * normc, 1e-12), 0.0)
-        nu = jnp.clip(jnp.maximum(nu_req * 1.1, 1.0), 0.0, o.nu_max)
-        phi0, _ = barrier_merit(Z, g, mu, nu)
+        dphiA = merit_dderiv(dZA, dgsA, dlamA)
+        dphiS = merit_dderiv(dZS, dgsS, dlamS)
+        dphiB = merit_dderiv(dZB, dgsB, dlamB)
+        phi0, _ = al_merit(Z, g, lam, lam_ref, mu)
 
-        def line_search(dZ_, dgs_, dphi_):
+        def line_search(dZ_, dgs_, dlam_, dphi_):
             alpha_p = jnp.minimum(max_step(gapL, dZ_, hasL),
                                   max_step(gapU, -dZ_, hasU))
             if dg:
                 alpha_p = jnp.minimum(alpha_p, jnp.minimum(
                     max_step(ggapL, dgs_, ghasL),
                     max_step(ggapU, -dgs_, ghasU)))
-            D = dphi_ - nu * normc
+            D = jnp.minimum(dphi_, 0.0)
             alphas = alpha_p * (0.5 ** jnp.arange(o.ls_iters, dtype=f64))
 
             def eval_merit(al):
-                phi, _ = barrier_merit(Z + al * dZ_, g + al * dgs_, mu, nu)
-                return phi
+                return al_merit(Z + al * dZ_, g + al * dgs_,
+                                lam + al * dlam_, lam_ref, mu)
 
-            phis = jax.vmap(eval_merit)(alphas)
-            ok_ls = (phis <= phi0 + o.armijo_eta * alphas * D) \
-                & jnp.isfinite(phis)
+            phis, thetas = jax.vmap(eval_merit)(alphas)
+            # Noise-tolerant Armijo: the merit is a sum of O(N*m) float
+            # terms, so its evaluation carries ~eps*|phi| rounding noise;
+            # without the floor the test starves in float32 (every true
+            # decrease smaller than the noise is rejected and the solver
+            # crawls at alpha_min). Negligible slack in float64.
+            noise = 10.0 * jnp.finfo(f64).eps * jnp.abs(phi0)
+            ok_ls = (phis <= phi0 + o.armijo_eta * alphas * D + noise) \
+                & jnp.isfinite(phis) & (thetas <= theta_max)
             idx = jnp.argmax(ok_ls)
             any_ok = jnp.any(ok_ls)
             alpha = jnp.where(any_ok, alphas[idx], alphas[-1])
             phi_a = jnp.where(any_ok, phis[idx], phis[-1])
             return alpha, phi_a, any_ok
 
-        alphaS, phiS, anyS = line_search(dZS, dgsS, dphiS)
-        alphaA, phiA, anyA = line_search(dZA, dgsA, dphiA)
-        alphaB, phiB, anyB = line_search(dZB, dgsB, dphiB)
+        alphaS, phiS, anyS = line_search(dZS, dgsS, dlamS, dphiS)
+        alphaA, phiA, anyA = line_search(dZA, dgsA, dlamA, dphiA)
+        alphaB, phiB, anyB = line_search(dZB, dgsB, dlamB, dphiB)
 
         # -- primal-dual (residual) acceptance of the Newton-SOC step ------- #
         # The l1 merit is blind to dual progress and rejects pure-dual
@@ -707,8 +788,11 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
                 o.kappa_sigma * mu / ggapU_n), 0.0)
 
         return IPMState(
-            Z=Z_new, g=g_new, lam=lam_new, zL=zL_new, zU=zU_new,
-            gL=gL_new, gU=gU_new, mu=mu, nu=nu,
+            Z=Z_new, g=g_new, lam=lam_new, lam_ref=lam_ref,
+            zL=zL_new, zU=zU_new,
+            gL=gL_new, gU=gU_new, mu=mu,
+            nu=jnp.max(jnp.abs(lam_ref)) if lam_ref.size
+            else jnp.asarray(0.0, f64),
             it=s.it + 1, converged=converged, kkt_err=kkt0, alpha=alpha,
             delta_used=delta_used
             + 10.0 * okA.astype(f64) + 100.0 * okB.astype(f64)
@@ -746,6 +830,6 @@ def solve_nlp_traced(nlp: CollocationNLP, params, Z0, g0=None,
             s_new = jax.lax.cond(s.converged, lambda x: x, body, s)
             return s_new, {"kkt": s_new.kkt_err, "mu": s_new.mu,
                            "alpha": s_new.alpha, "nu": s_new.nu,
-                           "delta": s_new.delta_used}
+                           "delta": s_new.delta_used, "f": s_new.f_prev}
 
         return jax.lax.scan(step, state0, None, length=options.max_iter)

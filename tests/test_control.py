@@ -77,7 +77,7 @@ def test_solved_pulse_extraction_roundtrip():
     qt2 = prob.qtraj
     U_iso_final = np.asarray(qt2.state_iso(prob.traj.get_times()))[-1]
     np.testing.assert_allclose(U_iso_final, np.asarray(prob.traj["U"][-1]),
-                               atol=1e-7)
+                               atol=1e-6)
 
 
 def test_free_time_problem():
