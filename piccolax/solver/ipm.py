@@ -802,15 +802,29 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
     return state, body
 
 
+import contextlib
+
+
+def _trace_ctx(Z0):
+    """Tracing context for the solver: full-f32 matmul precision always
+    (the MXU's default bf16 dot passes destroy KKT accuracy), and x64
+    DISABLED when the iterate is float32 — otherwise closure-captured f64
+    constants (generator matrices, goal isos) promote intermediate values
+    to f64 and split the dtype of the while_loop carry."""
+    ctx = contextlib.ExitStack()
+    ctx.enter_context(jax.default_matmul_precision("float32"))
+    if jnp.dtype(Z0.dtype) == jnp.float32 and jax.config.jax_enable_x64:
+        ctx.enter_context(jax.enable_x64(False))
+    return ctx
+
+
 def solve_nlp(nlp: CollocationNLP, params, Z0, g0=None,
               options: IPMOptions = IPMOptions()) -> IPMState:
     """Solve the collocation NLP from (Z0, g0). Fully jittable/vmappable.
 
-    Traced under full-float32 matmul precision: the TPU MXU's default
-    bf16-input dot passes destroy the KKT factorization accuracy, so the
-    solver opts every dot/einsum it traces into the 6-pass f32 path
-    (no-op on CPU and in float64)."""
-    with jax.default_matmul_precision("float32"):
+    Runs in the dtype of Z0: float32 is the TPU production path (see
+    IPMOptions *_f32 knobs), float64 the CPU/verification path."""
+    with _trace_ctx(Z0):
         state, body = _setup(nlp, params, Z0, g0, options)
 
         def cond(s: IPMState):
@@ -823,7 +837,7 @@ def solve_nlp_traced(nlp: CollocationNLP, params, Z0, g0=None,
                      options: IPMOptions = IPMOptions()):
     """Like solve_nlp but runs exactly max_iter scan steps and returns
     (state, history dict) for convergence diagnostics."""
-    with jax.default_matmul_precision("float32"):
+    with _trace_ctx(Z0):
         state0, body = _setup(nlp, params, Z0, g0, options)
 
         def step(s, _):
