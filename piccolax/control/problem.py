@@ -16,11 +16,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..quantum.trajectories import extract_pulse
-from ..solver.ipm import IPMOptions, solve_nlp
+from ..solver.ipm import IPMOptions, solve_nlp, solve_nlp_traced
 from ..solver.nlp import CollocationNLP
 from ..trajectory import KnotLayout, Trajectory
 
 __all__ = ["QuantumControlProblem", "build_nlp"]
+
+# Module-level jitted solvers: combined with the per-problem structure
+# cache (QuantumControlProblem.build), repeated solves of the same
+# problem (warm-started re-solve, MinimumTime chain on an unchanged
+# structure) hit the XLA compile cache instead of re-tracing.
+_SOLVE = jax.jit(solve_nlp,
+                 static_argnames=("options", "callback", "callback_every"))
+_SOLVE_TRACED = jax.jit(solve_nlp_traced, static_argnames=("options",))
 
 
 def _nlp_layout(traj: Trajectory) -> KnotLayout:
@@ -182,11 +190,32 @@ class QuantumControlProblem:
         self.eq_groups = eq_groups
         self.extra_params = dict(params or {})
         self.result = None
-        self._solve_cache = {}
+        self.history = None
+        self._built = None
 
     # -- assembly ------------------------------------------------------------
 
     def build(self):
+        """Assemble (nlp, params, Z0, g0, layout).
+
+        The NLP structure (closures, bounds, params) is built ONCE per
+        problem and cached: `solve_nlp` is jitted on the nlp pytree whose
+        treedef includes those closure objects, so rebuilding them on
+        every solve() would force a full re-trace + recompile each call
+        (minutes on TPU). Only Z0/g0 — the warm start, which changes
+        after each solve — are recomputed from the current trajectory.
+        """
+        if self._built is None:
+            self._built = self._build_structure()
+        nlp, params, layout = self._built
+        Z0 = jnp.concatenate(
+            [self.traj.data[n] for n in layout.names], axis=1)
+        g0 = (jnp.concatenate([self.traj.global_data[n]
+                               for n in layout.global_names])
+              if layout.g_dim else jnp.zeros(0))
+        return nlp, params, Z0, g0, layout
+
+    def _build_structure(self):
         params = dict(self.extra_params)
         params.setdefault("system", self.qtraj.system)
         if "goal" not in params:
@@ -204,8 +233,10 @@ class QuantumControlProblem:
                 for s in params["systems"])
         params["goal"] = {nm: self._goal_iso(v)
                           for nm, v in params["goal"].items()}
-        return build_nlp(self.traj, self.objectives, self.integrators,
-                         self.eq_groups, params)
+        nlp, params, _Z0, _g0, layout = build_nlp(
+            self.traj, self.objectives, self.integrators,
+            self.eq_groups, params)
+        return nlp, params, layout
 
     def _goal_iso(self, goal):
         """Host-side goal -> real iso vector matching the state encoding."""
@@ -243,21 +274,53 @@ class QuantumControlProblem:
     # -- solve ---------------------------------------------------------------
 
     def solve(self, max_iter: int = 150, tol: float = 1e-7, sync: bool = True,
-              verbose: bool = True, options: IPMOptions | None = None):
+              verbose=True, options: IPMOptions | None = None,
+              callback=None, callback_every: int = 1):
         """Solve the NLP, write the solution back into the trajectory, and
-        re-sync the quantum trajectory (globals -> pulse -> rollout)."""
+        re-sync the quantum trajectory (globals -> pulse -> rollout).
+
+        verbose: False (silent), True (one summary line), or "detailed"
+        (per-iteration table — the Ipopt iteration-log analogue; runs the
+        traced solver and stores the history in `self.history`).
+        callback: optional host function called per accepted iterate with
+        (it, kkt_err, mu, alpha, u [N, n_drives]) — the LivePulsePlot
+        hook (reference: src/visualizations/live_callbacks.jl:6-47).
+        """
         opts = options or IPMOptions(max_iter=max_iter, tol=tol,
                                      constr_viol_tol=tol)
         nlp, params, Z0, g0, layout = self.build()
+        cb = None
+        if callback is not None:
+            u_sl = layout.slices.get("u")
+
+            def cb(it, kkt, mu, alpha, Z):  # noqa: ANN001 — host side
+                callback(int(it), float(kkt), float(mu), float(alpha),
+                         np.asarray(Z[:, u_sl]) if u_sl else None)
+
+        detailed = verbose == "detailed"
         t0 = time.time()
-        solver = jax.jit(solve_nlp, static_argnames=("options",))
-        state = solver(nlp, params, Z0, g0, options=opts)
-        state = jax.block_until_ready(state)
+        if detailed:
+            state, hist = _SOLVE_TRACED(nlp, params, Z0, g0, options=opts)
+            state = jax.block_until_ready(state)
+            self.history = {k: np.asarray(v) for k, v in hist.items()}
+        else:
+            state = _SOLVE(nlp, params, Z0, g0, options=opts,
+                           callback=cb, callback_every=callback_every)
+            state = jax.block_until_ready(state)
         t1 = time.time()
         self.result = state
         self.traj = _writeback(self.traj, layout, state.Z, state.g)
         if sync:
             self.sync_trajectory()
+        if detailed:
+            n_it = int(state.it)
+            print(f"[piccolax] {'it':>4} {'objective':>12} {'kkt':>10} "
+                  f"{'mu':>9} {'alpha':>9}")
+            h = self.history
+            for i in range(n_it):
+                print(f"[piccolax] {i:4d} {float(h['f'][i]):12.6e} "
+                      f"{float(h['kkt'][i]):10.3e} {float(h['mu'][i]):9.2e} "
+                      f"{float(h['alpha'][i]):9.2e}")
         if verbose:
             print(f"[piccolax] IPM: {int(state.it)} iters, "
                   f"kkt={float(state.kkt_err):.2e}, "

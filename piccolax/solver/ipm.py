@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.pytree import pytree_dataclass
-from .kkt import qd_factor, qd_solve
+from .kkt import (condensed_factor, condensed_solve, psd_clamp,
+                  qd_factor, qd_solve)
 from .nlp import CollocationNLP, nlp_constraint_residuals, nlp_total_cost
 
 __all__ = ["IPMOptions", "IPMState", "solve_nlp", "solve_nlp_traced"]
@@ -44,9 +45,9 @@ class IPMOptions:
     theta_mu: float = 1.5
     tau_min: float = 0.99
     delta_w0: float = 1e-4       # cold-start inertia-correction magnitude
-    delta_w_scale: float = 10.0  # ladder growth factor
     delta_w_shrink: float = 3.0  # warm-start shrink of the last correction
-    inertia_trials: int = 12     # max regularization attempts
+    delta_w_growth: float = 25.0  # geometric spacing of the parallel ladder
+    delta_w_min: float = 1e-9    # below this the ambitious trial is 0
     delta_c: float = 1e-8        # constraint-row regularization (f64)
     # float32 production path (TPU): the quasidefinite recursion must keep
     # its dynamic range inside ~1/eps32. Because the dual regularization
@@ -70,11 +71,22 @@ class IPMOptions:
     acceptable_tol: float = 1e-3
     acceptable_obj_change: float = 1e-5
     acceptable_iter: int = 10
-    # KKT linear-solver backend: "jax" (matmul-only quasidefinite
-    # factorization, the TPU production path) or "native" (C++ exact-
-    # Cholesky host library via pure_callback — the Ipopt/MadNLP-style
-    # second backend, CPU runs only).
-    kkt_backend: str = "jax"
+    # Numerical-floor stall detection: once primal-feasible, if the KKT
+    # error has not improved by stall_ratio over stall_iter consecutive
+    # iterations the iterate is at the dtype's accuracy floor — stop
+    # instead of burning max_iter (the f32 TPU path plateaus ~1e-3).
+    stall_iter: int = 12
+    stall_ratio: float = 0.97
+    s_trial_evals: int = 4       # residual line-search candidates
+    # KKT linear-solver backend:
+    #   "cr"     — condensed dual Schur complement + block cyclic
+    #              reduction (kkt.py). O(log N) sequential depth, all
+    #              batched matmuls: the TPU production path.
+    #   "qd"     — sequential quasidefinite block-tridiagonal recursion
+    #              (O(N) scan; reference implementation).
+    #   "native" — C++ exact-Cholesky host library via pure_callback
+    #              (the Ipopt/MadNLP-style second backend, CPU only).
+    kkt_backend: str = "cr"
 
 
 @pytree_dataclass
@@ -93,9 +105,12 @@ class IPMState:
     converged: jnp.ndarray
     kkt_err: jnp.ndarray
     alpha: jnp.ndarray      # last accepted primal step (diagnostics)
-    delta_used: jnp.ndarray  # direction diagnostics (0=S, 1=A, 2=B)
+    delta_used: jnp.ndarray  # direction diagnostics (0=S, 1=N, +10 okA, ...)
     f_prev: jnp.ndarray     # objective at previous iterate
     stagnant: jnp.ndarray   # consecutive acceptable+stagnant iterations
+    delta_w: jnp.ndarray    # carried inertia-shift ladder value
+    kkt_best: jnp.ndarray   # best KKT error seen (stall detection)
+    no_prog: jnp.ndarray    # consecutive iterations without KKT progress
 
 
 def _finite(x):
@@ -282,6 +297,8 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         kkt_err=jnp.asarray(jnp.inf, f64), alpha=jnp.asarray(0.0, f64),
         delta_used=jnp.asarray(0.0, f64),
         f_prev=jnp.asarray(jnp.inf, f64), stagnant=jnp.asarray(0),
+        delta_w=jnp.asarray(o.delta_w0, f64),
+        kkt_best=jnp.asarray(jnp.inf, f64), no_prog=jnp.asarray(0),
     )
 
     # Per-row dual regularization r_i (delta_c on active rows; ~1 on
@@ -414,6 +431,17 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
              <= o.acceptable_obj_change * jnp.maximum(1.0, jnp.abs(f_now)))
         stagnant = jnp.where(acc_now, s.stagnant + 1, 0)
         converged = converged | (stagnant >= o.acceptable_iter)
+        # numerical-floor stall: primal-feasible + no KKT progress for
+        # stall_iter consecutive iterations -> the dtype's accuracy floor
+        improved = kkt0 < o.stall_ratio * s.kkt_best
+        kkt_best = jnp.minimum(kkt0, s.kkt_best)
+        no_prog = jnp.where(improved, 0, s.no_prog + 1)
+        # only once the barrier is nearly fully driven down — mid-descent
+        # plateaus (and warm re-solves whose mu was reset to mu_init)
+        # must not read as a numerical floor
+        stalled = (no_prog >= o.stall_iter) & \
+            (err_prim < 10.0 * o.constr_viol_tol) & (mu <= 1e-3)
+        converged = converged | stalled
 
         # -- barrier update ------------------------------------------------ #
         def _cmax(comp, mask):
@@ -428,7 +456,11 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         # shrink mu and move lam_ref to the current multipliers (dual
         # proximal-point step — this is what makes the large-delta_c f32
         # path converge to the unshifted solution).
-        err_mu = jnp.maximum(err_dual, jnp.maximum(_max0(ch), err_comp_mu))
+        # Ipopt scales the dual/complementarity errors by s_d in the
+        # barrier test too: with large multipliers the raw dual residual
+        # floor sits above kappa_eps*mu and mu would never advance.
+        err_mu = jnp.maximum(err_dual / s_d,
+                             jnp.maximum(_max0(ch), err_comp_mu / s_d))
         inner_done = err_mu <= o.kappa_eps * mu
         mu = jnp.where(
             inner_done,
@@ -460,73 +492,80 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         lam_reg = reg_row
         Cn = Cnext[:-1]                                 # [N-1, m, dz]
 
-        # -- two-direction strategy ----------------------------------------- #
-        # A: exact Newton on the full indefinite KKT (quadratic tail), kept
-        #    only if the quasidefinite factorization goes through (primal
-        #    block PD along the Schur recursion) AND it passes a
-        #    positive-curvature test.
-        # B: globally-robust fallback with the eigenvalue-clamped (PD)
-        #    Lagrangian Hessian — always a descent direction.
-        # Both get a parallel Armijo line search; the better merit wins.
-        # Fixed two factorizations per iteration: static shapes, no ladder.
-        def make_solver(Wmat):
-            """Factor the quasidefinite block-tridiagonal KKT with primal
-            Hessian block Wmat; return a solver
-            (rz [N,dz], rc [N,m], bg [dg]) -> (dZ, dlam, dgs) reusable for
-            second-order corrections. Matmul-only linear algebra (kkt.py
-            `qd_factor`): MXU-friendly and the only formulation that
-            compiles in emulated float64 on TPU. NaNs signal a non-PD
-            primal block (the caller's direction-validity test). One step
-            of iterative refinement recovers the accuracy lost to the
-            explicit triangular inverses at float32."""
+        # -- adaptive-shift two-factorization strategy ---------------------- #
+        # N: exact Newton with the smallest workable inertia shift (the
+        #    delta_w ladder is carried ACROSS iterations, Ipopt-style:
+        #    shrink after success, jump to the guaranteed shift after
+        #    failure), factored through the condensed dual Schur
+        #    complement + block cyclic reduction (kkt.py) — O(log2 N)
+        #    sequential depth, all batched matmuls.
+        # G: guaranteed-PD fallback via a per-knot Gershgorin diagonal
+        #    shift — always factors, no eigendecomposition anywhere.
+        # The SOC/Mehrotra-corrected step S reuses whichever factorization
+        # was selected. Fixed two factorizations per iteration: static
+        # shapes, no dynamic ladder.
+        if dg:
+            Pblk = jnp.concatenate([Cz, Jg], axis=1)    # [N, mb, dg]
+
+        def K_matvec(Wmat, w):                          # w [N, mb, r]
+            wz, wl = w[:, :dz], w[:, dz:]
+            oz = Wmat @ wz + jnp.swapaxes(Cself, -1, -2) @ wl
+            oz = oz.at[1:].add(jnp.swapaxes(Cn, -1, -2) @ wl[:-1])
+            ol = Cself @ wz - lam_reg[..., None] * wl
+            ol = ol.at[:-1].add(Cn @ wz[1:])
+            return jnp.concatenate([oz, ol], axis=1)
+
+        def kkt_apply(aux, r):
+            """Solve the (z, lam) KKT block given factorization products;
+            one step of iterative refinement recovers the accuracy lost
+            to the explicit triangular inverses at float32."""
+            squeeze = r.ndim == 2
+            if squeeze:
+                r = r[..., None]
             if o.kkt_backend == "native":
                 from .native_kkt import qd_solve_callback
-
-                def kkt_solve(r):
-                    squeeze = r.ndim == 2
-                    if squeeze:
-                        r = r[..., None]
-                    w = qd_solve_callback(Wmat, Cself, lam_reg, Cn, r)
-                    return w[..., 0] if squeeze else w
+                w = qd_solve_callback(aux["W"], Cself, lam_reg, Cn, r)
             else:
-                factors = qd_factor(Wmat, Cself, lam_reg, Cn)
+                if o.kkt_backend == "qd":
+                    def s1(rr):
+                        return qd_solve(aux["f"], Cself, Cn, rr, dz)
+                else:
+                    def s1(rr):
+                        return condensed_solve(aux["f"], Cself, Cn, rr, dz)
+                w = s1(r)
+                w = w + s1(r - K_matvec(aux["W"], w))
+            return w[..., 0] if squeeze else w
 
-                def K_matvec(w):                        # w [N, mb, r]
-                    wz, wl = w[:, :dz], w[:, dz:]
-                    oz = Wmat @ wz + jnp.swapaxes(Cself, -1, -2) @ wl
-                    oz = oz.at[1:].add(jnp.swapaxes(Cn, -1, -2) @ wl[:-1])
-                    ol = Cself @ wz - lam_reg[..., None] * wl
-                    ol = ol.at[:-1].add(Cn @ wz[1:])
-                    return jnp.concatenate([oz, ol], axis=1)
-
-                def kkt_solve(r):
-                    squeeze = r.ndim == 2
-                    if squeeze:
-                        r = r[..., None]
-                    w = qd_solve(factors, Cself, Cn, r, dz)
-                    w = w + qd_solve(factors, Cself, Cn, r - K_matvec(w), dz)
-                    return w[..., 0] if squeeze else w
-
+        def factorize(Wmat):
+            """Factor the KKT with primal Hessian block Wmat. Returns a
+            pytree of factorization products (selectable leaf-wise with
+            jnp.where). NaNs signal a non-PD primal block — the caller's
+            direction-validity test. Matmul-only linear algebra: MXU-
+            friendly and the only formulation that compiles in emulated
+            float64 on TPU."""
+            aux = {"W": Wmat}
+            if o.kkt_backend == "qd":
+                aux["f"] = qd_factor(Wmat, Cself, lam_reg, Cn)
+            elif o.kkt_backend != "native":
+                aux["f"] = condensed_factor(Wmat, Cself, lam_reg, Cn)
             if dg:
-                P = jnp.concatenate([Cz, Jg], axis=1)   # [N, mb, dg]
-                Xcols = kkt_solve(P)
-                Schur_g = Wg - jnp.einsum("kbg,kbh->gh", P, Xcols)
+                Xcols = kkt_apply(aux, Pblk)            # [N, mb, dg]
+                Schur_g = Wg - jnp.einsum("kbg,kbh->gh", Pblk, Xcols)
                 ew, EV = jnp.linalg.eigh(0.5 * (Schur_g + Schur_g.T))
-                ew = jnp.maximum(ew, 1e-10)
+                aux.update(Xcols=Xcols, ew=jnp.maximum(ew, 1e-10), EV=EV)
+            return aux
 
-                def solve(rz, rc, bg):
-                    r = jnp.concatenate([rz, rc], axis=1)
-                    w0 = kkt_solve(r)
-                    rhs_g = bg - jnp.einsum("kbg,kb->g", P, w0)
-                    dgs_ = EV @ ((EV.T @ rhs_g) / ew)
-                    w = w0 - jnp.einsum("kbg,g->kb", Xcols, dgs_)
-                    return w[:, :dz], w[:, dz:], dgs_
-            else:
-                def solve(rz, rc, bg):
-                    r = jnp.concatenate([rz, rc], axis=1)
-                    w = kkt_solve(r)
-                    return w[:, :dz], w[:, dz:], jnp.zeros(0, f64)
-            return solve
+        def kkt_solve(aux, rz, rc, bg):
+            """(rz [N,dz], rc [N,m], bg [dg]) -> (dZ, dlam, dgs); globals
+            via the small bordered Schur complement."""
+            r = jnp.concatenate([rz, rc], axis=1)
+            w = kkt_apply(aux, r)
+            if dg:
+                rhs_g = bg - jnp.einsum("kbg,kb->g", Pblk, w)
+                dgs_ = aux["EV"] @ ((aux["EV"].T @ rhs_g) / aux["ew"])
+                w = w - jnp.einsum("kbg,g->kb", aux["Xcols"], dgs_)
+                return w[:, :dz], w[:, dz:], dgs_
+            return w[:, :dz], w[:, dz:], jnp.zeros(0, f64)
 
         def curvature_ok(Wmat, dZ_, dlam_, dgs_):
             sq = jnp.sum(dZ_ * dZ_) + jnp.sum(dgs_ * dgs_)
@@ -539,67 +578,133 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             return finite & (curv >= 1e-9 * sq)
 
         bg0 = b if dg else jnp.zeros(0, f64)
-        solveA = make_solver(Wzz)
-        dZA, dlamA, dgsA = solveA(a, -ch, bg0)
-        okA = curvature_ok(Wzz, dZA, dlamA, dgsA)
-        # Sanitize: the quasidefinite factorization signals an indefinite
-        # primal block with NaNs, which must not leak into the merit
-        # penalty (nu) or the SOC right-hand sides.
-        dZA = jnp.where(okA, dZA, 0.0)
-        dlamA = jnp.where(okA, dlamA, 0.0)
-        dgsA = jnp.where(okA, dgsA, 0.0)
+        rng_dz = jnp.arange(dz)
+
+        # -- vectorized inertia ladder -------------------------------------- #
+        # Ipopt's delta_w ladder, but all trials factor IN PARALLEL under
+        # vmap (same sequential depth, negligible extra FLOPs on tiny
+        # blocks). Trials: [carried shift shrunk (ambitious), two
+        # geometric growths, the matmul-only PSD-clamped Hessian
+        # (kkt.psd_clamp — preserves all positive curvature; the quality
+        # fallback), per-knot Gershgorin shift (strictly diagonally
+        # dominant, guaranteed PD — the last resort)]. No
+        # eigendecomposition anywhere. The first successful trial wins
+        # and seeds the next iteration's ladder.
+        dA = jnp.where(s.delta_w <= o.delta_w_min, 0.0,
+                       s.delta_w / o.delta_w_shrink)
+        diagW = Wzz[:, rng_dz, rng_dz]
+        offsum = jnp.sum(jnp.abs(Wzz), axis=-1) - jnp.abs(diagW)
+        gersh = jnp.min(diagW - offsum, axis=-1)        # [N]
+        floor_k = hess_floor * jnp.maximum(
+            1.0, jnp.max(jnp.abs(diagW), axis=-1))
+        dGersh = jnp.maximum(0.0, -gersh) + floor_k     # [N]
+        g1 = jnp.maximum(o.delta_w0, dA * o.delta_w_growth)
+        g2 = g1 * o.delta_w_growth
+        HB = psd_clamp(Hext[:, :dz, :dz], hess_floor)
+        WzzC = HB.at[:, rng_dz, rng_dz].add(SigL + SigU)
+        shifts = jnp.stack([
+            jnp.broadcast_to(dA, (N,)), jnp.broadcast_to(g1, (N,)),
+            jnp.broadcast_to(g2, (N,)), dGersh])        # [K-1, N]
+        Wzz_t = jnp.broadcast_to(Wzz[None], (4, N, dz, dz))
+        Wzz_t = Wzz_t.at[:, :, rng_dz, rng_dz].add(shifts[:, :, None])
+        # order: ambitious, g1, g2, clamp, Gershgorin
+        Wzz_t = jnp.concatenate(
+            [Wzz_t[:3], WzzC[None], Wzz_t[3:]], axis=0)
+        K_tr = 5
+        gmax = jnp.max(dGersh)
+        tr_scalar = jnp.stack(
+            [dA, g1, g2,
+             jnp.minimum(g2 * o.delta_w_growth, gmax),
+             jnp.minimum(g2 * o.delta_w_growth, gmax)])
+
+        auxs = jax.vmap(factorize)(Wzz_t)
+        dZt, dlamt, dgst = jax.vmap(
+            lambda ax: kkt_solve(ax, a, -ch, bg0))(auxs)
+        okt = jax.vmap(curvature_ok)(Wzz_t, dZt, dlamt, dgst)      # [K]
+        pick_t = jnp.argmax(okt)                        # first success
+        okN = jnp.any(okt)
+
+        def _sel_leaf(x):
+            return x[pick_t] if hasattr(x, "dtype") else x
+
+        aux = jax.tree_util.tree_map(_sel_leaf, auxs)
+        # Sanitize NaNs from failed factorizations so they cannot leak
+        # into the SOC right-hand sides or the merit.
+        dZN = jnp.where(okN, dZt[pick_t], 0.0)
+        dlamN = jnp.where(okN, dlamt[pick_t], 0.0)
+        dgsN = jnp.where(okN, dgst[pick_t], 0.0)
+        # The PSD-clamped direction is ALSO kept as its own line-search
+        # candidate: a shift trial can "succeed" (factor) while being
+        # hugely over-shifted — a microscopic quasi-gradient step — and
+        # only a merit comparison against the clamp direction (which
+        # preserves all positive curvature exactly) catches that.
+        okC = okt[3]
+        dZC = jnp.where(okC, dZt[3], 0.0)
+        dlamC = jnp.where(okC, dlamt[3], 0.0)
+        dgsC = jnp.where(okC, dgst[3], 0.0)
+
+        # Dual-step safeguard: the AL merit is nearly dual-blind
+        # (d merit/d lam = -ch ~ 0 near feasibility), so a direction with
+        # a wild multiplier component can pass Armijo at alpha = 1 while
+        # exploding the dual error and poisoning every later iteration
+        # (the polluted lam corrupts the Newton rhs). Clip the dual
+        # component of EVERY candidate to a trust region that still
+        # allows ~10x multiplier growth per iteration — fast enough to
+        # reach any multiplier scale, slow enough that the merit/KKT
+        # tests can veto a bad trajectory. (Ipopt's analogue: multiplier
+        # safeguards + acceptance filter.)
+        lam_scale = 1.0 + (jnp.max(jnp.abs(lam)) if lam.size
+                           else jnp.asarray(0.0, f64))
+        dlam_cap = 10.0 * lam_scale
+
+        def clip_dual(dlam_):
+            if not dlam_.size:
+                return dlam_
+            mx = jnp.max(jnp.abs(dlam_))
+            return dlam_ * jnp.minimum(1.0, dlam_cap / jnp.maximum(mx, 1e-30))
+
+        dlamN = clip_dual(dlamN)
+        dlamC = clip_dual(dlamC)
+        okA = okt[0]                                    # diagnostics
+        okB = okt[K_tr - 1]
+        delta_w_new = jnp.where(
+            okN, tr_scalar[pick_t], tr_scalar[K_tr - 1] * o.delta_w_growth)
 
         # -- second-order corrected step S ---------------------------------- #
         # (i) Mehrotra-style complementarity corrector: push the dZ*dzL
         #     products of the first solve into the eliminated dual rhs;
         # (ii) constraint SOC (Maratos fix): correct for the quadratic
         #     remainder of the dynamics/equality residuals.
-        # Both reuse the SAME factorization.
-        dzL1 = jnp.where(hasL, mu / gapL - s.zL - SigL * dZA, 0.0)
-        dzU1 = jnp.where(hasU, mu / gapU - s.zU + SigU * dZA, 0.0)
-        a_corr = a - jnp.where(hasL, dZA * dzL1 / gapL, 0.0) \
-            - jnp.where(hasU, dZA * dzU1 / gapU, 0.0)
+        # Both reuse the SELECTED factorization.
+        dzL1 = jnp.where(hasL, mu / gapL - s.zL - SigL * dZN, 0.0)
+        dzU1 = jnp.where(hasU, mu / gapU - s.zU + SigU * dZN, 0.0)
+        a_corr = a - jnp.where(hasL, dZN * dzL1 / gapL, 0.0) \
+            - jnp.where(hasU, dZN * dzU1 / gapU, 0.0)
         if dg:
             dgL1 = jnp.where(ghasL, mu / ggapL - s.gL
-                             - (s.gL / ggapL) * dgsA, 0.0)
+                             - (s.gL / ggapL) * dgsN, 0.0)
             dgU1 = jnp.where(ghasU, mu / ggapU - s.gU
-                             + (s.gU / ggapU) * dgsA, 0.0)
-            b_corr = b - jnp.where(ghasL, dgsA * dgL1 / ggapL, 0.0) \
-                - jnp.where(ghasU, dgsA * dgU1 / ggapU, 0.0)
+                             + (s.gU / ggapU) * dgsN, 0.0)
+            b_corr = b - jnp.where(ghasL, dgsN * dgL1 / ggapL, 0.0) \
+                - jnp.where(ghasU, dgsN * dgU1 / ggapU, 0.0)
         else:
             b_corr = bg0
-        c_soc = nlp_constraint_residuals(nlp, Z + dZA, g + dgsA, params)
-        ch_soc = c_soc - reg_row * (lam + dlamA - lam_ref)
-        JdZ1 = jnp.einsum("kmz,kz->km", Cself, dZA)
+        c_soc = nlp_constraint_residuals(nlp, Z + dZN, g + dgsN, params)
+        ch_soc = c_soc - reg_row * (lam + dlamN - lam_ref)
+        JdZ1 = jnp.einsum("kmz,kz->km", Cself, dZN)
         JdZ1 = JdZ1.at[:-1].add(
-            jnp.einsum("kmz,kz->km", Cnext[:-1], dZA[1:]))
+            jnp.einsum("kmz,kz->km", Cnext[:-1], dZN[1:]))
         if dg:
-            JdZ1 = JdZ1 + jnp.einsum("kmg,g->km", Jg, dgsA)
+            JdZ1 = JdZ1 + jnp.einsum("kmg,g->km", Jg, dgsN)
         # quadratic remainder of the SHIFTED constraint (linear model is
         # ch + J dZ - reg * dlam)
-        q2 = ch_soc - ch - (JdZ1 - reg_row * dlamA)
-        dZS, dlamS, dgsS = solveA(a_corr, -ch - q2, b_corr)
-        okS = okA & jnp.all(jnp.isfinite(dZS)) & jnp.all(jnp.isfinite(dlamS)) \
+        q2 = ch_soc - ch - (JdZ1 - reg_row * dlamN)
+        dZS, dlamS, dgsS = kkt_solve(aux, a_corr, -ch - q2, b_corr)
+        okS = okN & jnp.all(jnp.isfinite(dZS)) & jnp.all(jnp.isfinite(dlamS)) \
             & jnp.all(jnp.isfinite(dgsS))
         dZS = jnp.where(okS, dZS, 0.0)
-        dlamS = jnp.where(okS, dlamS, 0.0)
+        dlamS = jnp.where(okS, clip_dual(dlamS), 0.0)
         dgsS = jnp.where(okS, dgsS, 0.0)
-
-        # clamped-PD fallback Hessian (relative floor: an absolute 1e-8
-        # clamp leaves the block with condition ~1e10+, which poisons the
-        # downstream Schur products even in f64)
-        ewB, EVB = jnp.linalg.eigh(Hext[:, :dz, :dz])
-        ewB_floor = hess_floor * jnp.maximum(
-            1.0, jnp.max(jnp.abs(ewB), axis=-1, keepdims=True))
-        HB = jnp.einsum("kij,kj,klj->kil", EVB,
-                        jnp.maximum(ewB, ewB_floor), EVB)
-        WzzB = HB.at[:, jnp.arange(dz), jnp.arange(dz)].add(SigL + SigU)
-        dZB, dlamB, dgsB = make_solver(WzzB)(a, -ch, bg0)
-        okB = jnp.all(jnp.isfinite(dZB)) & jnp.all(jnp.isfinite(dlamB)) \
-            & jnp.all(jnp.isfinite(dgsB))
-        dZB = jnp.where(okB, dZB, 0.0)
-        dlamB = jnp.where(okB, dlamB, 0.0)
-        dgsB = jnp.where(okB, dgsB, 0.0)
 
         # -- fraction-to-boundary helper ------------------------------------ #
         tau = jnp.maximum(o.tau_min, 1.0 - mu)
@@ -633,133 +738,165 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
                 val = val + jnp.sum(gradM_g * dgs_)
             return val
 
-        dphiA = merit_dderiv(dZA, dgsA, dlamA)
         dphiS = merit_dderiv(dZS, dgsS, dlamS)
-        dphiB = merit_dderiv(dZB, dgsB, dlamB)
+        dphiN = merit_dderiv(dZN, dgsN, dlamN)
+        dphiC = merit_dderiv(dZC, dgsC, dlamC)
         phi0, _ = al_merit(Z, g, lam, lam_ref, mu)
 
-        def line_search(dZ_, dgs_, dlam_, dphi_):
-            alpha_p = jnp.minimum(max_step(gapL, dZ_, hasL),
-                                  max_step(gapU, -dZ_, hasU))
+        def alpha_max_primal(dZ_, dgs_):
+            ap = jnp.minimum(max_step(gapL, dZ_, hasL),
+                             max_step(gapU, -dZ_, hasU))
             if dg:
-                alpha_p = jnp.minimum(alpha_p, jnp.minimum(
+                ap = jnp.minimum(ap, jnp.minimum(
                     max_step(ggapL, dgs_, ghasL),
                     max_step(ggapU, -dgs_, ghasU)))
-            D = jnp.minimum(dphi_, 0.0)
-            alphas = alpha_p * (0.5 ** jnp.arange(o.ls_iters, dtype=f64))
+            return ap
 
-            def eval_merit(al):
-                return al_merit(Z + al * dZ_, g + al * dgs_,
-                                lam + al * dlam_, lam_ref, mu)
+        # ONE merged parallel Armijo backtracking over all candidate
+        # directions (SOC-corrected step S, ladder Newton step N, clamp
+        # step C): all 3 x ls_iters merit evaluations run in a single
+        # vmapped batch.
+        dZ2 = jnp.stack([dZS, dZN, dZC])
+        dgs2 = jnp.stack([dgsS, dgsN, dgsC])
+        dlam2 = jnp.stack([dlamS, dlamN, dlamC])
+        ap2 = jnp.stack([alpha_max_primal(dZS, dgsS),
+                         alpha_max_primal(dZN, dgsN),
+                         alpha_max_primal(dZC, dgsC)])
+        D2 = jnp.minimum(jnp.stack([dphiS, dphiN, dphiC]), 0.0)
+        alphas2 = ap2[:, None] * (0.5 ** jnp.arange(o.ls_iters, dtype=f64))
 
-            phis, thetas = jax.vmap(eval_merit)(alphas)
-            # Noise-tolerant Armijo: the merit is a sum of O(N*m) float
-            # terms, so its evaluation carries ~eps*|phi| rounding noise;
-            # without the floor the test starves in float32 (every true
-            # decrease smaller than the noise is rejected and the solver
-            # crawls at alpha_min). Negligible slack in float64.
-            noise = 10.0 * jnp.finfo(f64).eps * jnp.abs(phi0)
-            ok_ls = (phis <= phi0 + o.armijo_eta * alphas * D + noise) \
-                & jnp.isfinite(phis) & (thetas <= theta_max)
-            idx = jnp.argmax(ok_ls)
-            any_ok = jnp.any(ok_ls)
-            alpha = jnp.where(any_ok, alphas[idx], alphas[-1])
-            phi_a = jnp.where(any_ok, phis[idx], phis[-1])
-            return alpha, phi_a, any_ok
+        def eval_merit(dZ_, dgs_, dlam_, al):
+            return al_merit(Z + al * dZ_, g + al * dgs_,
+                            lam + al * dlam_, lam_ref, mu)
 
-        alphaS, phiS, anyS = line_search(dZS, dgsS, dlamS, dphiS)
-        alphaA, phiA, anyA = line_search(dZA, dgsA, dlamA, dphiA)
-        alphaB, phiB, anyB = line_search(dZB, dgsB, dlamB, dphiB)
+        phis2, thetas2 = jax.vmap(jax.vmap(
+            eval_merit, in_axes=(None, None, None, 0)),
+            in_axes=(0, 0, 0, 0))(dZ2, dgs2, dlam2, alphas2)
+        # Noise-tolerant Armijo: the merit is a sum of O(N*m) float
+        # terms, so its evaluation carries ~eps*|phi| rounding noise;
+        # without the floor the test starves in float32 (every true
+        # decrease smaller than the noise is rejected and the solver
+        # crawls at alpha_min). Negligible slack in float64.
+        noise = 10.0 * jnp.finfo(f64).eps * jnp.abs(phi0)
+        ok2 = (phis2 <= phi0 + o.armijo_eta * alphas2 * D2[:, None] + noise) \
+            & jnp.isfinite(phis2) & (thetas2 <= theta_max)
+        idx2 = jnp.argmax(ok2, axis=1)
+        any2 = jnp.any(ok2, axis=1)
+
+        def _take(arr, i):
+            return jnp.take_along_axis(arr, i[:, None], axis=1)[:, 0]
+
+        alpha2 = jnp.where(any2, _take(alphas2, idx2), alphas2[:, -1])
+        phi2 = jnp.where(any2, _take(phis2, idx2), phis2[:, -1])
+        alphaS, alphaN, alphaC = alpha2[0], alpha2[1], alpha2[2]
+        phiS, phiN, phiC = phi2[0], phi2[1], phi2[2]
+        anyS, anyN, anyC = any2[0], any2[1], any2[2]
+
+        # -- full-residual trial machinery ---------------------------------- #
+        # The mu-KKT error of a candidate step, with the bound duals moved
+        # by their own (fraction-to-boundary-capped) Newton updates.
+        def dual_updates(dZ_, dgs_):
+            dzL_ = jnp.where(hasL, mu / gapL - s.zL - SigL * dZ_, 0.0)
+            dzU_ = jnp.where(hasU, mu / gapU - s.zU + SigU * dZ_, 0.0)
+            if dg:
+                dgL_ = jnp.where(ghasL, mu / ggapL - s.gL
+                                 - (s.gL / ggapL) * dgs_, 0.0)
+                dgU_ = jnp.where(ghasU, mu / ggapU - s.gU
+                                 + (s.gU / ggapU) * dgs_, 0.0)
+            else:
+                dgL_ = jnp.zeros(0, f64)
+                dgU_ = jnp.zeros(0, f64)
+            ad = jnp.minimum(max_step(s.zL, dzL_, hasL),
+                             max_step(s.zU, dzU_, hasU))
+            if dg:
+                ad = jnp.minimum(ad, jnp.minimum(
+                    max_step(s.gL, dgL_, ghasL), max_step(s.gU, dgU_, ghasU)))
+            return dzL_, dzU_, dgL_, dgU_, ad
+
+        def err2_at(dZ_, dgs_, dlam_, al):
+            dzL_, dzU_, dgL_, dgU_, aSd = dual_updates(dZ_, dgs_)
+            ad = jnp.minimum(al, aSd)
+            _, e2 = full_kkt_error(
+                Z + al * dZ_, g + al * dgs_, lam + al * dlam_,
+                s.zL + ad * dzL_, s.zU + ad * dzU_,
+                s.gL + ad * dgL_, s.gU + ad * dgU_, mu)
+            return jnp.where(jnp.isfinite(e2), e2, jnp.inf)
 
         # -- primal-dual (residual) acceptance of the Newton-SOC step ------- #
         # The l1 merit is blind to dual progress and rejects pure-dual
         # Newton steps near the central path; accept the SOC step outright
         # whenever it contracts the full mu-KKT residual.
-        def s_trial():
-            """Residual-norm line search along the corrected Newton step."""
-            aSp = jnp.minimum(max_step(gapL, dZS, hasL),
-                              max_step(gapU, -dZS, hasU))
-            if dg:
-                aSp = jnp.minimum(aSp, jnp.minimum(
-                    max_step(ggapL, dgsS, ghasL),
-                    max_step(ggapU, -dgsS, ghasU)))
-            dzLS = jnp.where(hasL, mu / gapL - s.zL - SigL * dZS, 0.0)
-            dzUS = jnp.where(hasU, mu / gapU - s.zU + SigU * dZS, 0.0)
-            aSd = jnp.minimum(max_step(s.zL, dzLS, hasL),
-                              max_step(s.zU, dzUS, hasU))
-            if dg:
-                dgLS = jnp.where(ghasL, mu / ggapL - s.gL
-                                 - (s.gL / ggapL) * dgsS, 0.0)
-                dgUS = jnp.where(ghasU, mu / ggapU - s.gU
-                                 + (s.gU / ggapU) * dgsS, 0.0)
-                aSd = jnp.minimum(aSd, jnp.minimum(
-                    max_step(s.gL, dgLS, ghasL), max_step(s.gU, dgUS, ghasU)))
-            else:
-                dgLS = jnp.zeros(0, f64)
-                dgUS = jnp.zeros(0, f64)
-
-            def trial(al):
-                ad = jnp.minimum(al, aSd)
-                _, e2 = full_kkt_error(
-                    Z + al * dZS, g + al * dgsS, lam + al * dlamS,
-                    s.zL + ad * dzLS, s.zU + ad * dzUS,
-                    s.gL + ad * dgLS, s.gU + ad * dgUS, mu)
-                return e2
-
-            alphas = aSp * (0.5 ** jnp.arange(8, dtype=f64))
-            errs2 = jax.vmap(trial)(alphas)
-            errs2 = jnp.where(jnp.isfinite(errs2), errs2, jnp.inf)
-            best = jnp.argmin(errs2)
-            return alphas[best], errs2[best]
-
-        aSp, errS2 = s_trial()
+        aSp0 = alpha_max_primal(dZS, dgsS)
+        alphasS = aSp0 * (0.5 ** jnp.arange(o.s_trial_evals, dtype=f64))
+        errsS = jax.vmap(lambda al: err2_at(dZS, dgsS, dlamS, al))(alphasS)
+        bestS = jnp.argmin(errsS)
+        aSp, errS2 = alphasS[bestS], errsS[bestS]
         _, err2_now = full_kkt_error(Z, g, lam, s.zL, s.zU, s.gL, s.gU, mu)
-        newton_ok = okS & jnp.isfinite(errS2) & \
+        # Residual acceptance is only sound for the (near-)unmodified
+        # Newton direction, whose quadratic contraction the test relies
+        # on — a clamped/heavily-shifted fallback direction can shuffle
+        # the residual 2-norm downward forever without real progress.
+        true_newton = okt[0] & (dA <= jnp.maximum(
+            o.delta_w0, 1e-3 * jnp.max(jnp.abs(diagW))))
+        newton_ok = okS & true_newton & jnp.isfinite(errS2) & \
             (errS2 <= (1.0 - 0.1 * aSp) * err2_now)
 
-        # pick the valid candidate with the lowest merit (prefer the
-        # SOC-corrected Newton step on ties); fall back to B. A
-        # residual-accepted Newton-SOC step always wins.
+        # -- dual-safety screen + merit selection --------------------------- #
+        # The AL merit is nearly dual-blind, so an (inexact-)Newton step
+        # can pass Armijo at alpha ~ 1 while exploding the dual residual
+        # and poisoning every later iterate (the polluted lam corrupts
+        # the next Newton rhs). Screen each candidate at its merit-chosen
+        # step: it may not grow the full mu-KKT 2-norm by more than
+        # rho_dual. If no candidate is safe (e.g. multipliers must grow a
+        # lot this iteration), fall back to pure merit selection. A
+        # residual-accepted true-Newton SOC step always wins.
+        rho_dual = 3.0
+        err3 = jnp.stack([err2_at(dZS, dgsS, dlamS, alphaS),
+                          err2_at(dZN, dgsN, dlamN, alphaN),
+                          err2_at(dZC, dgsC, dlamC, alphaC)])
+        ok3 = jnp.stack([okS & anyS, okN & anyN, okC & anyC])
+        safe3 = ok3 & (err3 <= rho_dual * err2_now)
         INF = jnp.asarray(jnp.inf, f64)
-        phiS_e = jnp.where(okS & anyS, phiS, INF)
-        phiS_e = jnp.where(newton_ok, -INF, phiS_e)
+        phi3 = jnp.where(safe3, jnp.stack([phiS, phiN, phiC]), INF)
+        phi3 = phi3.at[0].set(jnp.where(newton_ok, -INF, phi3[0]))
         alphaS = jnp.where(newton_ok, aSp, alphaS)
-        phiA_e = jnp.where(okA & anyA, phiA, INF)
-        phiB_e = jnp.where(okB & anyB, phiB, INF)
-        pick = jnp.argmin(jnp.stack([phiS_e, phiA_e, phiB_e]))
-        pick = jnp.where(jnp.isinf(jnp.minimum(phiS_e,
-                                               jnp.minimum(phiA_e, phiB_e))),
-                         2, pick)                      # all invalid -> B
+        pick_merit = jnp.argmin(phi3)
+        # no safe candidate: take the least dual-damaging valid direction
+        # (its Armijo alpha still guarantees merit descent) — the escape
+        # hatch for iterations where the multipliers must genuinely grow.
+        pick_safe = jnp.argmin(jnp.where(ok3, err3, jnp.inf))
+        pick = jnp.where(newton_ok | jnp.any(safe3), pick_merit, pick_safe)
         delta_used = pick.astype(f64)
+        import os
+        if os.environ.get("PX_DEBUG_PICK"):
+            jax.debug.print(
+                "it={i} e2now={e:.3e} errS={a:.3e} errN={b:.3e} "
+                "errC={c:.3e} phi0={p0:.6e} phiS={ps:.6e} phiN={pn:.6e} "
+                "phiC={pc:.6e} aS={als:.3e} aN={aln:.3e} aC={alc:.3e} "
+                "nok={no} pick={pk}",
+                i=s.it, e=err2_now, a=err3[0], b=err3[1], c=err3[2],
+                p0=phi0, ps=phiS, pn=phiN, pc=phiC,
+                als=alphaS, aln=alphaN, alc=alphaC, no=newton_ok, pk=pick)
 
         def sel(xs):
             return jnp.stack(xs)[pick]
 
-        dZ = sel([dZS, dZA, dZB])
-        dgs = sel([dgsS, dgsA, dgsB])
-        dlam = sel([dlamS, dlamA, dlamB])
-        alpha = sel([alphaS, alphaA, alphaB])
+        dZ = sel([dZS, dZN, dZC])
+        dgs = sel([dgsS, dgsN, dgsC])
+        dlam = sel([dlamS, dlamN, dlamC])
+        alpha = sel([alphaS, alphaN, alphaC])
 
         # -- bound dual steps + dual fraction-to-boundary ------------------- #
-        dzL = jnp.where(hasL, mu / gapL - s.zL - SigL * dZ, 0.0)
-        dzU = jnp.where(hasU, mu / gapU - s.zU + SigU * dZ, 0.0)
-        if dg:
-            dgL = jnp.where(ghasL, mu / ggapL - s.gL
-                            - (s.gL / ggapL) * dgs, 0.0)
-            dgU = jnp.where(ghasU, mu / ggapU - s.gU
-                            + (s.gU / ggapU) * dgs, 0.0)
-        else:
-            dgL = jnp.zeros(0, f64)
-            dgU = jnp.zeros(0, f64)
-        alpha_d = jnp.minimum(max_step(s.zL, dzL, hasL),
-                              max_step(s.zU, dzU, hasU))
-        if dg:
-            alpha_d = jnp.minimum(alpha_d, jnp.minimum(
-                max_step(s.gL, dgL, ghasL), max_step(s.gU, dgU, ghasU)))
+        dzL, dzU, dgL, dgU, alpha_d = dual_updates(dZ, dgs)
 
         # -- masked update ------------------------------------------------- #
+        # The bound-dual step is COUPLED to the primal step
+        # (min(alpha, alpha_d)): a full dual lurch on a tiny primal step
+        # is incoherent (the dual update formula assumes the full primal
+        # move) and is exactly what the err2_at safety screen simulated —
+        # screen and update must agree.
         step = jnp.where(converged, 0.0, alpha)
-        dstep = jnp.where(converged, 0.0, alpha_d)
+        dstep = jnp.where(converged, 0.0, jnp.minimum(alpha, alpha_d))
         Z_new = Z + step * dZ
         g_new = g + step * dgs
         lam_new = lam + step * dlam
@@ -796,8 +933,9 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             it=s.it + 1, converged=converged, kkt_err=kkt0, alpha=alpha,
             delta_used=delta_used
             + 10.0 * okA.astype(f64) + 100.0 * okB.astype(f64)
-            + 1000.0 * anyB.astype(f64),
-            f_prev=f_now, stagnant=stagnant)
+            + 1000.0 * anyN.astype(f64),
+            f_prev=f_now, stagnant=stagnant,
+            delta_w=delta_w_new, kkt_best=kkt_best, no_prog=no_prog)
 
     return state, body
 
@@ -819,13 +957,35 @@ def _trace_ctx(Z0):
 
 
 def solve_nlp(nlp: CollocationNLP, params, Z0, g0=None,
-              options: IPMOptions = IPMOptions()) -> IPMState:
+              options: IPMOptions = IPMOptions(),
+              callback=None, callback_every: int = 1) -> IPMState:
     """Solve the collocation NLP from (Z0, g0). Fully jittable/vmappable.
 
     Runs in the dtype of Z0: float32 is the TPU production path (see
-    IPMOptions *_f32 knobs), float64 the CPU/verification path."""
+    IPMOptions *_f32 knobs), float64 the CPU/verification path.
+
+    callback: optional HOST function (it, kkt_err, mu, alpha, Z) fired
+    via jax.debug.callback every callback_every accepted iterations —
+    the per-iteration observability hook (Ipopt iteration log /
+    LivePulsePlotCallback analogue). Adds a host sync per firing; leave
+    None in production."""
     with _trace_ctx(Z0):
         state, body = _setup(nlp, params, Z0, g0, options)
+
+        if callback is not None:
+            inner_body = body
+
+            def body(s: IPMState) -> IPMState:
+                s2 = inner_body(s)
+
+                def fire(_):
+                    jax.debug.callback(callback, s2.it, s2.kkt_err,
+                                       s2.mu, s2.alpha, s2.Z)
+                    return 0
+
+                jax.lax.cond(s2.it % callback_every == 0,
+                             fire, lambda _: 0, 0)
+                return s2
 
         def cond(s: IPMState):
             return (s.it < options.max_iter) & (~s.converged)

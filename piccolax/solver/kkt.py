@@ -29,10 +29,15 @@ __all__ = [
     "block_ldl_factor",
     "block_ldl_solve",
     "cyclic_reduction_solve",
+    "cr_factor",
+    "cr_solve",
     "tri_lower_inv",
     "spd_inv",
+    "psd_clamp",
     "qd_factor",
     "qd_solve",
+    "condensed_factor",
+    "condensed_solve",
 ]
 
 
@@ -341,6 +346,39 @@ def spd_inv(A):
     return jnp.swapaxes(Xi, -1, -2) @ Xi
 
 
+def psd_clamp(W, floor_rel, iters: int = 32):
+    """Matmul-only PSD projection of symmetric W [..., n, n].
+
+    Returns approximately U max(lam, 0) U^T + floor*I via the
+    Newton-Schulz matrix-sign iteration S <- 1.5 S - 0.5 S^3 (sign(W) =
+    U sign(lam) U^T, |W| = sign(W) W, PSD part = (W + |W|)/2): the
+    TPU-native replacement for the eigendecomposition clamp — no eigh
+    anywhere, ~2*iters batched matmuls.
+
+    Eigenvalues below ~1.5^-iters of the spectral bound s are only
+    partially resolved by the sign iteration (small x grows as 1.5^k);
+    their clamped value can remain as negative as ~ -|lam|/2 <
+    0.5 * 1.5^-iters * s, so the effective floor is
+    max(floor_rel, 0.5 * 1.5^-iters) * max(1, s) — PD by construction.
+    """
+    n = W.shape[-1]
+    s = jnp.max(jnp.sum(jnp.abs(W), axis=-1), axis=-1)   # inf-norm >= rho(W)
+    s = jnp.maximum(s, 1e-30)
+    Y = W / s[..., None, None]
+
+    def step(S, _):
+        return 1.5 * S - 0.5 * S @ S @ S, None
+
+    S, _ = jax.lax.scan(step, Y, None, length=iters)
+    absW = S @ Y                                         # |W| / s
+    Wpd = 0.5 * (Y + absW)
+    Wpd = 0.5 * (Wpd + jnp.swapaxes(Wpd, -1, -2)) * s[..., None, None]
+    floor = jnp.maximum(floor_rel, 0.5 * 1.5 ** (-iters)) \
+        * jnp.maximum(1.0, s)
+    eye = jnp.eye(n, dtype=W.dtype)
+    return Wpd + floor[..., None, None] * eye
+
+
 def qd_factor(P, C, Rdiag, Cnext):
     """Factor the quasidefinite block-tridiagonal KKT.
 
@@ -449,3 +487,189 @@ def qd_solve(factors, C, Cnext, rhs, dz):
             reverse=True)
         xs = jnp.concatenate([rest, x_last[None]], axis=0)
     return xs[..., 0] if squeeze else xs
+
+
+# --------------------------------------------------------------------------- #
+# Cyclic-reduction factorization (the TPU production KKT path)
+# --------------------------------------------------------------------------- #
+#
+# The IPM hot loop is LATENCY-bound on TPU, not FLOP-bound: the per-knot
+# blocks are tiny (m ~ 24) and a sequential Thomas scan issues O(N) tiny
+# kernels back to back. Cyclic reduction re-orders the same elimination
+# into O(log2 N) levels, each level a fully batched matmul over all knots
+# at once — ~6 sequential steps instead of ~50 for N = 50, and the level
+# structure maps 1:1 onto a knot-sharded multi-chip solve (each level's
+# neighbor exchange is a ppermute; SURVEY.md section 5.7).
+#
+# `cr_factor` stores, per level, the Cholesky-inverse factors of the odd
+# diagonal blocks plus the left/right couplings, so repeated solves
+# (Newton + SOC + iterative refinement) reuse the factorization — the
+# analogue of Ipopt re-using its sparse LDL^T across rhs.
+
+
+def _pow2_pad(N: int) -> int:
+    import math
+    return 1 << max(0, math.ceil(math.log2(max(N, 1))))
+
+
+def cr_factor(D, U):
+    """Cyclic-reduction factorization of an SPD block-tridiagonal matrix.
+
+    D [N, m, m] diagonal blocks, U [N-1, m, m] with S[k, k+1] = U[k],
+    S[k+1, k] = U[k]^T. Returns an opaque factor object for `cr_solve`.
+    NaNs propagate if a reduced diagonal block is not numerically PD —
+    callers use this to reject a direction (same contract as qd_factor).
+
+    Algebra per level (n rows, padded to a power of two with identity
+    blocks): odd rows 2j+1 are eliminated. With Dinv_j = inverse of the
+    odd diagonal D[2j+1], Ul[j] = U[2j] (S[2j, 2j+1]) and Ur[j] = U[2j+1]
+    (S[2j+1, 2j+2]; zero at the last slot), the even rows reduce to
+
+        D'[j] = D[2j] - Ur[j-1]^T Dinv_{j-1} Ur[j-1] - Ul[j] Dinv_j Ul[j]^T
+        U'[j] = -Ul[j] Dinv_j Ur[j]
+
+    All corrections are Gram products through the Cholesky-inverse
+    factor Xi (Dinv = Xi^T Xi), so the reduced system stays numerically
+    SPD (same argument as qd_factor).
+    """
+    N, m, _ = D.shape
+    Np = _pow2_pad(N)
+    dt = D.dtype
+    if Np > N:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=dt), (Np - N, m, m))
+        D = jnp.concatenate([D, eye], axis=0)
+    # pad U to length Np with zeros; convention U[n-1] = 0 at every level
+    U = jnp.concatenate(
+        [U, jnp.zeros((Np - U.shape[0], m, m), dt)], axis=0)
+
+    levels = []
+    n = Np
+    while n > 1:
+        Xi = chol_inv_factor(D[1::2])               # [n/2] odd-block inverses
+        Ul = U[0::2]                                # Ul[j] = U[2j]
+        Ur = U[1::2]                                # Ur[j] = U[2j+1] (last = 0)
+        Gl = Xi @ jnp.swapaxes(Ul, -1, -2)          # Gl^T Gl = Ul Dinv Ul^T
+        Gr = Xi @ Ur                                # Gr^T Gr = Ur^T Dinv Ur
+        Gr_s = jnp.concatenate(
+            [jnp.zeros((1, m, m), dt), Gr[:-1]], axis=0)
+        D = D[0::2] - jnp.swapaxes(Gr_s, -1, -2) @ Gr_s \
+            - jnp.swapaxes(Gl, -1, -2) @ Gl
+        # U'[j] = -Ul[j] Dinv_j Ur[j]; the last slot is zero automatically
+        # because Ur[last] = 0, preserving the padding convention.
+        U = -jnp.swapaxes(Gl, -1, -2) @ Gr
+        levels.append((Xi, Ul, Ur))
+        n //= 2
+    Xi_root = chol_inv_factor(D[0])
+    # all-array pytree (no static metadata) so factor objects can pass
+    # through vmap/scan/jnp.where selection; cr_solve infers N from the
+    # rhs and the padded size from the level count.
+    return (levels, Xi_root)
+
+
+def cr_solve(factors, rhs):
+    """Solve S x = rhs with factors from `cr_factor`.
+
+    rhs [N, m] or [N, m, r]; returns the same shape. Pure batched
+    matmuls, O(log2 N) sequential levels.
+    """
+    levels, Xi_root = factors
+    N = rhs.shape[0]
+    Np = 1 << len(levels)
+    squeeze = rhs.ndim == 2
+    if squeeze:
+        rhs = rhs[..., None]
+    m, r = rhs.shape[-2], rhs.shape[-1]
+    dt = rhs.dtype
+    if Np > N:
+        rhs = jnp.concatenate(
+            [rhs, jnp.zeros((Np - N, m, r), dt)], axis=0)
+
+    # reduce: fold odd rows into even rows, level by level.
+    # Even row 2j collects -Ur[j-1]^T Dinv_{j-1} r_odd[j-1] (left odd
+    # neighbor) and -Ul[j] Dinv_j r_odd[j] (right odd neighbor).
+    reduced = []                        # per-level odd rhs (for backsub)
+    for (Xi, Ul, Ur) in levels:
+        r_odd = rhs[1::2]
+        reduced.append(r_odd)
+        t = jnp.swapaxes(Xi, -1, -2) @ (Xi @ r_odd)   # Dinv r_odd
+        Ur_s = jnp.concatenate(
+            [jnp.zeros((1, m, m), dt), Ur[:-1]], axis=0)
+        t_s = jnp.concatenate(
+            [jnp.zeros((1, m, r), dt), t[:-1]], axis=0)
+        rhs = rhs[0::2] - jnp.swapaxes(Ur_s, -1, -2) @ t_s - Ul @ t
+
+    x = jnp.swapaxes(Xi_root, -1, -2) @ (Xi_root @ rhs[0])
+    x = x[None]                                       # [1, m, r]
+
+    # back-substitute: x_odd[j] = Dinv_j (r_odd - Ul^T x_{2j} - Ur x_{2j+2})
+    for (Xi, Ul, Ur), r_odd in zip(reversed(levels), reversed(reduced)):
+        n2 = r_odd.shape[0]                           # odd count at level
+        x_right = jnp.concatenate(
+            [x[1:], jnp.zeros((1, m, r), dt)], axis=0)
+        b = r_odd - jnp.swapaxes(Ul, -1, -2) @ x - Ur @ x_right
+        x_odd = jnp.swapaxes(Xi, -1, -2) @ (Xi @ b)
+        x = jnp.stack([x, x_odd], axis=1).reshape(2 * n2, m, r)
+    x = x[:N]
+    return x[..., 0] if squeeze else x
+
+
+# --------------------------------------------------------------------------- #
+# Condensed (dual Schur complement) KKT via cyclic reduction
+# --------------------------------------------------------------------------- #
+#
+# The per-iteration IPM KKT with per-knot blocks [[P_k, C_k^T],
+# [C_k, -diag(R_k)]] and coupling Cnext (constraint rows of knot k touch
+# z_{k+1}) condenses, when every P_k is PD, onto the SPD block-tridiag
+# DUAL system
+#     S[k,k]   = C_k Pinv_k C_k^T + Cn_k Pinv_{k+1} Cn_k^T + diag(R_k)
+#     S[k,k+1] = Cn_k Pinv_{k+1} C_{k+1}^T
+# which cyclic reduction solves in O(log N) batched steps. All P_k
+# inversions are ONE batched Cholesky (no knot recursion at all), so the
+# whole factorization has sequential depth ~log2 N instead of ~2N.
+# P_k PD is exactly the Ipopt inertia condition the IPM enforces with its
+# adaptive delta_w shift; a NaN Cholesky rejects the direction.
+
+
+def condensed_factor(P, C, Rdiag, Cnext):
+    """Factor the condensed KKT. P [N, dz, dz] (must be PD), C [N, m, dz],
+    Rdiag [N, m] (> 0), Cnext [N-1, m, dz]."""
+    N, m, dz = C.shape
+    dt = P.dtype
+    Xi = chol_inv_factor(P)                         # [N, dz, dz]
+    XiT = jnp.swapaxes(Xi, -1, -2)
+    Y = C @ XiT                                     # [N, m, dz]
+    Yn = Cnext @ XiT[1:] if N > 1 else jnp.zeros((0, m, dz), dt)
+    D = Y @ jnp.swapaxes(Y, -1, -2)
+    if N > 1:
+        D = D.at[:-1].add(Yn @ jnp.swapaxes(Yn, -1, -2))
+    D = D.at[:, jnp.arange(m), jnp.arange(m)].add(Rdiag)
+    U = Yn @ jnp.swapaxes(Y[1:], -1, -2) if N > 1 \
+        else jnp.zeros((0, m, m), dt)
+    cr = cr_factor(D, U)
+    return (Xi, cr)
+
+
+def condensed_solve(factors, C, Cnext, rhs, dz):
+    """Solve the full KKT system given `condensed_factor` output.
+
+    rhs [N, mb(, r)] ordered (z, lam) per knot, mb = dz + m.
+    Returns the same shape.
+    """
+    Xi, cr = factors
+    squeeze = rhs.ndim == 2
+    if squeeze:
+        rhs = rhs[..., None]
+    N = rhs.shape[0]
+    rz, rc = rhs[:, :dz], rhs[:, dz:]
+    XiT = jnp.swapaxes(Xi, -1, -2)
+    t = XiT @ (Xi @ rz)                             # Pinv rz  [N, dz, r]
+    b = C @ t - rc
+    if N > 1:
+        b = b.at[:-1].add(Cnext @ t[1:])
+    lam = cr_solve(cr, b)                           # [N, m, r]
+    w = rz - jnp.swapaxes(C, -1, -2) @ lam
+    if N > 1:
+        w = w.at[1:].add(-jnp.swapaxes(Cnext, -1, -2) @ lam[:-1])
+    z = XiT @ (Xi @ w)
+    out = jnp.concatenate([z, lam], axis=1)
+    return out[..., 0] if squeeze else out
