@@ -192,8 +192,54 @@ class QuantumControlProblem:
         self.result = None
         self.history = None
         self._built = None
+        self._built_fp = None
+        self._cb_cache = None
 
     # -- assembly ------------------------------------------------------------
+
+    def _fingerprint(self):
+        """Hash of everything `_build_structure` bakes into the cached NLP
+        (bounds, pins, frozen data, extra params). A changed fingerprint
+        invalidates the cache so post-construction mutation of the problem
+        is picked up by the next solve()."""
+        import hashlib
+        h = hashlib.sha1()
+
+        def upd(v):
+            leaves, treedef = jax.tree_util.tree_flatten(v)
+            h.update(repr(treedef).encode())
+            for leaf in leaves:
+                if hasattr(leaf, "dtype") or isinstance(
+                        leaf, (int, float, bool, complex)):
+                    h.update(np.asarray(leaf).tobytes())
+                else:
+                    h.update(repr(leaf).encode())
+
+        t = self.traj
+        h.update(str(t.N).encode())
+        h.update(repr(t.frozen).encode())
+        for name in t.frozen:
+            upd(t.data[name])
+        for table in (t.bounds, t.global_bounds, t.initial, t.final,
+                      t.goal or {}):
+            h.update(b"|")
+            for name in sorted(table):
+                h.update(name.encode())
+                upd(table[name])
+        h.update(b"|params")
+        for k in sorted(self.extra_params):
+            h.update(k.encode())
+            upd(self.extra_params[k])
+        return h.hexdigest()
+
+    def invalidate(self):
+        """Drop the cached NLP structure (forces a rebuild + re-trace on
+        the next solve). Called automatically when the fingerprinted
+        inputs change; call manually after mutating objectives,
+        integrators, or constraints in place."""
+        self._built = None
+        self._built_fp = None
+        return self
 
     def build(self):
         """Assemble (nlp, params, Z0, g0, layout).
@@ -204,9 +250,14 @@ class QuantumControlProblem:
         every solve() would force a full re-trace + recompile each call
         (minutes on TPU). Only Z0/g0 — the warm start, which changes
         after each solve — are recomputed from the current trajectory.
+        The cache is keyed by a fingerprint of the baked inputs (bounds,
+        pins, frozen data, extra params) so mutating the problem between
+        solves is safe; see `invalidate` for in-place term mutation.
         """
-        if self._built is None:
+        fp = self._fingerprint()
+        if self._built is None or self._built_fp != fp:
             self._built = self._build_structure()
+            self._built_fp = fp
         nlp, params, layout = self._built
         Z0 = jnp.concatenate(
             [self.traj.data[n] for n in layout.names], axis=1)
@@ -291,13 +342,28 @@ class QuantumControlProblem:
         nlp, params, Z0, g0, layout = self.build()
         cb = None
         if callback is not None:
+            # Memoized per (user callback, u slice): _SOLVE declares
+            # `callback` static, so a fresh closure per solve() would be
+            # a jit-cache miss (full re-trace) every call.
             u_sl = layout.slices.get("u")
+            key = (callback, u_sl)
+            if self._cb_cache is None or self._cb_cache[0] != key:
+                def cb(it, kkt, mu, alpha, Z):  # noqa: ANN001 — host side
+                    callback(int(it), float(kkt), float(mu), float(alpha),
+                             np.asarray(Z[:, u_sl]) if u_sl else None)
 
-            def cb(it, kkt, mu, alpha, Z):  # noqa: ANN001 — host side
-                callback(int(it), float(kkt), float(mu), float(alpha),
-                         np.asarray(Z[:, u_sl]) if u_sl else None)
+                self._cb_cache = (key, cb)
+            cb = self._cb_cache[1]
 
         detailed = verbose == "detailed"
+        if detailed and cb is not None:
+            import warnings
+            warnings.warn(
+                "verbose='detailed' runs the traced solver, which does not "
+                "support per-iteration callbacks; the callback is ignored. "
+                "Use verbose=True with callback= for live hooks.",
+                stacklevel=2)
+            cb = None
         t0 = time.time()
         if detailed:
             state, hist = _SOLVE_TRACED(nlp, params, Z0, g0, options=opts)
@@ -322,9 +388,10 @@ class QuantumControlProblem:
                       f"{float(h['kkt'][i]):10.3e} {float(h['mu'][i]):9.2e} "
                       f"{float(h['alpha'][i]):9.2e}")
         if verbose:
+            status = "stalled-at-floor" if bool(state.stalled) \
+                else f"converged={bool(state.converged)}"
             print(f"[piccolax] IPM: {int(state.it)} iters, "
-                  f"kkt={float(state.kkt_err):.2e}, "
-                  f"converged={bool(state.converged)}, "
+                  f"kkt={float(state.kkt_err):.2e}, {status}, "
                   f"wall={t1 - t0:.2f}s")
         return self
 

@@ -1,3 +1,4 @@
-"""Compute kernels (expm, KKT block ops, Pallas implementations)."""
+"""Compute kernels: matrix exponentials (Pade, scaling-and-squaring) as
+batched XLA matmuls — the hot ops of the collocation residual path."""
 
 from .expm import expm, expm_action, expm_pade_fixed

@@ -7,9 +7,9 @@ the same fixed-shape IPM on its shard of problems; the only collectives
 are reductions for logging/convergence (inserted automatically by XLA
 from the sharded jit).
 
-Knot-axis (sequence-parallel) sharding via cyclic reduction lives in
-`solver/kkt.py:cyclic_reduction_solve` and is wired in for large-N
-problems.
+Knot-axis (sequence-parallel) sharding via block cyclic reduction lives
+in `parallel/sharded_kkt.py` (shard_map + ppermute over the knot axis);
+the single-device building block is `solver/kkt.py:cr_factor/cr_solve`.
 """
 
 from __future__ import annotations

@@ -1,0 +1,145 @@
+"""Knot-sharded block-tridiagonal KKT solves (sequence parallelism).
+
+The reference handles long horizons with sparse factorizations inside a
+single Ipopt process (SURVEY.md section 5.7); the TPU-native equivalent
+shards the KNOT axis of the block-tridiagonal KKT system across devices
+and solves with ICI collectives. Two design options exist:
+
+1. distributed cyclic reduction — log2(N) ppermute rounds (one neighbor
+   exchange per level);
+2. Schur-interface partitioning (SPIKE / partitioned Thomas) — each
+   device eliminates its INTERIOR rows locally (using the in-device
+   cyclic reduction `solver/kkt.py:cr_factor`), then ONE `all_gather`
+   assembles the tiny interface system (2 blocks per device), which every
+   device solves redundantly before back-substituting locally.
+
+We ship (2): on TPU the per-level blocks are tiny (m ~ 8-32) so a
+collective ROUND costs far more than the redundant interface math —
+one all_gather of 2*n_dev m x m blocks beats log2(N) ppermute rounds of
+the same data. The interface system is itself block-tridiagonal and is
+solved with the same `cr_factor`/`cr_solve`.
+
+Partition math (device d owns L = N/n_dev contiguous rows
+[f, i_1..i_{L-2}, l]; T = the SPD interior block):
+
+    reduced D_f  = D_f - U_f (T^{-1})_{1,1}   U_f^T
+    reduced D_l  = D_l - U_l^T (T^{-1})_{k,k} U_l
+    reduced U_fl = -U_f (T^{-1})_{1,k} U_l          (f-l coupling, k=L-2)
+    cross-device coupling S[l_d, f_{d+1}] = the original boundary upper
+    reduced r_f  = r_f - U_f   (T^{-1} r_int)_1
+    reduced r_l  = r_l - U_l^T (T^{-1} r_int)_k
+    back-substitution: x_int = T^{-1}(r_int - U_f^T x_f e_1 - U_l x_l e_k)
+
+All local solves are batched matmuls through `cr_factor` products, so the
+whole path stays MXU-friendly; the only communication is one all_gather
+(and the final result already lives sharded).
+
+Requires N divisible by n_dev and N/n_dev >= 3.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solver.kkt import cr_factor, cr_solve
+
+__all__ = ["sharded_spd_tridiag_solve", "spd_tridiag_solve_ref"]
+
+
+def spd_tridiag_solve_ref(diag, upper, rhs):
+    """Single-device reference: S x = rhs via in-device cyclic reduction."""
+    return cr_solve(cr_factor(diag, upper), rhs)
+
+
+def _local_partition_solve(diag, upper, rhs, axis_name: str):
+    """shard_map body: diag [L, m, m], upper [L, m, m] (entry L-1 is the
+    coupling to the NEXT device's first row; zero on the last device),
+    rhs [L, m, r]. Returns x [L, m, r]."""
+    L, m, _ = diag.shape
+    r = rhs.shape[-1]
+    dt = diag.dtype
+    n_dev = jax.lax.psum(1, axis_name)
+
+    # interior rows 1..L-2 form an SPD block-tridiagonal system T
+    T_diag = diag[1:L - 1]
+    T_upper = upper[1:L - 2]
+    fT = cr_factor(T_diag, T_upper)
+
+    U_f = upper[0]            # S[f, i_1]
+    U_l = upper[L - 2]        # S[i_k, l]
+    U_x = upper[L - 1]        # S[l, f_next] (zero on the last device)
+
+    # T^{-1} applied to the two boundary coupling columns + interior rhs
+    k = L - 2                 # number of interior rows
+    cols = jnp.zeros((k, m, 2 * m + r), dt)
+    cols = cols.at[0, :, :m].set(U_f.T)          # e_1 (x) U_f^T
+    cols = cols.at[k - 1, :, m:2 * m].set(U_l)   # e_k (x) U_l
+    cols = cols.at[:, :, 2 * m:].set(rhs[1:L - 1])
+    sol = cr_solve(fT, cols)                     # [k, m, 2m + r]
+    Tinv_Uf = sol[:, :, :m]                      # (T^{-1} e_1 U_f^T)
+    Tinv_Ul = sol[:, :, m:2 * m]
+    Tinv_r = sol[:, :, 2 * m:]
+
+    # reduced 2x2-per-device interface blocks
+    Df = diag[0] - U_f @ Tinv_Uf[0]
+    Dl = diag[L - 1] - U_l.T @ Tinv_Ul[k - 1]
+    Ufl = -U_f @ Tinv_Ul[0]                      # S_red[f, l]
+    rf = rhs[0] - U_f @ Tinv_r[0]
+    rl = rhs[L - 1] - U_l.T @ Tinv_r[k - 1]
+
+    # assemble the global interface system (2 rows per device):
+    # diag: [Df, Dl] per device; upper couplings alternate [Ufl, U_x]
+    d_loc = jnp.stack([Df, Dl])                  # [2, m, m]
+    u_loc = jnp.stack([Ufl, U_x])                # [2, m, m]
+    r_loc = jnp.stack([rf, rl])                  # [2, m, r]
+    d_all = jax.lax.all_gather(d_loc, axis_name).reshape(2 * n_dev, m, m)
+    u_all = jax.lax.all_gather(u_loc, axis_name).reshape(2 * n_dev, m, m)
+    r_all = jax.lax.all_gather(r_loc, axis_name).reshape(2 * n_dev, m, r)
+    # redundant tiny solve on every device (2*n_dev blocks)
+    x_if = cr_solve(cr_factor(d_all, u_all[:-1]), r_all)
+
+    idx = jax.lax.axis_index(axis_name)
+    x_f = jax.lax.dynamic_index_in_dim(x_if, 2 * idx, keepdims=False)
+    x_l = jax.lax.dynamic_index_in_dim(x_if, 2 * idx + 1, keepdims=False)
+    # the LAST device's l row also needs its right neighbor... it has
+    # none; interior back-substitution needs x of the PREVIOUS row only
+    # within the chunk, both of which are local (f and l).
+    b_int = rhs[1:L - 1]
+    b_int = b_int.at[0].add(-U_f.T @ x_f)
+    b_int = b_int.at[k - 1].add(-U_l @ x_l)
+    x_int = cr_solve(fT, b_int)
+    return jnp.concatenate([x_f[None], x_int, x_l[None]], axis=0)
+
+
+def sharded_spd_tridiag_solve(diag, upper, rhs, mesh: Mesh,
+                              axis_name: str = "knot"):
+    """Solve the SPD block-tridiagonal system S x = rhs with the knot
+    axis sharded over `mesh`'s `axis_name` devices.
+
+    diag [N, m, m], upper [N-1, m, m], rhs [N, m] or [N, m, r]. N must be
+    divisible by n_dev with N/n_dev >= 3. Returns x with the same
+    (sharded) layout as rhs.
+    """
+    squeeze = rhs.ndim == 2
+    if squeeze:
+        rhs = rhs[..., None]
+    N, m, _ = diag.shape
+    n_dev = mesh.shape[axis_name]
+    if N % n_dev or N // n_dev < 3:
+        raise ValueError(
+            f"N={N} must be divisible by n_dev={n_dev} with chunks >= 3")
+    # pad upper to [N] so it shards evenly; entry N-1 is zero (no coupling
+    # out of the last row) which the partition body relies on.
+    upper_p = jnp.concatenate(
+        [upper, jnp.zeros((1, m, m), upper.dtype)], axis=0)
+
+    body = functools.partial(_local_partition_solve, axis_name=axis_name)
+    spec = P(axis_name)
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(spec, spec, spec), out_specs=spec)
+    x = fn(diag, upper_p, rhs)
+    return x[..., 0] if squeeze else x

@@ -1,5 +1,5 @@
 """Batched NLP solver: interior-point method + block-tridiagonal KKT."""
 
 from .ipm import IPMOptions, IPMState, solve_nlp
-from .kkt import block_tridiag_solve, cyclic_reduction_solve
+from .kkt import condensed_factor, condensed_solve, cr_factor, cr_solve
 from .nlp import CollocationNLP

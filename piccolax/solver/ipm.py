@@ -6,10 +6,11 @@ McCormick monotone barrier with:
 - exact per-knot Lagrangian Hessians via JAX autodiff;
 - the FULL symmetric indefinite KKT system factored directly: ordering
   unknowns per knot as (z_k, lambda_k) makes the KKT matrix
-  block-tridiagonal over the knot axis, factored by a block LDL^T
-  (`solver/kkt.py`) whose Schur-complemented diagonal blocks expose the
-  inertia (Sylvester), driving Ipopt-style inertia-corrected
-  regularization (delta_w ladder) with a STATIC trial loop;
+  block-tridiagonal over the knot axis, factored by the condensed dual
+  Schur complement + block cyclic reduction (`solver/kkt.py`, O(log N)
+  sequential depth); a NaN factorization signals an indefinite primal
+  block and routes the iteration to the PSD-clamped fallback direction
+  (exactly two factorizations per iteration, static shapes);
 - global variables (free phases, slacks) via a small bordered Schur
   complement on the factored system;
 - fraction-to-boundary rule + vectorized Armijo backtracking on an l1
@@ -44,10 +45,6 @@ class IPMOptions:
     kappa_mu: float = 0.2
     theta_mu: float = 1.5
     tau_min: float = 0.99
-    delta_w0: float = 1e-4       # cold-start inertia-correction magnitude
-    delta_w_shrink: float = 3.0  # warm-start shrink of the last correction
-    delta_w_growth: float = 25.0  # geometric spacing of the parallel ladder
-    delta_w_min: float = 1e-9    # below this the ambitious trial is 0
     delta_c: float = 1e-8        # constraint-row regularization (f64)
     # float32 production path (TPU): the quasidefinite recursion must keep
     # its dynamic range inside ~1/eps32. Because the dual regularization
@@ -77,7 +74,6 @@ class IPMOptions:
     # instead of burning max_iter (the f32 TPU path plateaus ~1e-3).
     stall_iter: int = 12
     stall_ratio: float = 0.97
-    s_trial_evals: int = 4       # residual line-search candidates
     # KKT linear-solver backend:
     #   "cr"     — condensed dual Schur complement + block cyclic
     #              reduction (kkt.py). O(log N) sequential depth, all
@@ -105,12 +101,15 @@ class IPMState:
     converged: jnp.ndarray
     kkt_err: jnp.ndarray
     alpha: jnp.ndarray      # last accepted primal step (diagnostics)
-    delta_used: jnp.ndarray  # direction diagnostics (0=S, 1=N, +10 okA, ...)
+    delta_used: jnp.ndarray  # direction diagnostics (0=S, 1=N, 2=C,
+                             # +10 okN, +100 okC)
     f_prev: jnp.ndarray     # objective at previous iterate
     stagnant: jnp.ndarray   # consecutive acceptable+stagnant iterations
-    delta_w: jnp.ndarray    # carried inertia-shift ladder value
     kkt_best: jnp.ndarray   # best KKT error seen (stall detection)
     no_prog: jnp.ndarray    # consecutive iterations without KKT progress
+    stalled: jnp.ndarray    # True if the stop was the numerical-floor
+                            # stall heuristic (kkt_err may exceed tol),
+                            # not the KKT tolerance test
 
 
 def _finite(x):
@@ -297,8 +296,8 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         kkt_err=jnp.asarray(jnp.inf, f64), alpha=jnp.asarray(0.0, f64),
         delta_used=jnp.asarray(0.0, f64),
         f_prev=jnp.asarray(jnp.inf, f64), stagnant=jnp.asarray(0),
-        delta_w=jnp.asarray(o.delta_w0, f64),
         kkt_best=jnp.asarray(jnp.inf, f64), no_prog=jnp.asarray(0),
+        stalled=jnp.asarray(False),
     )
 
     # Per-row dual regularization r_i (delta_c on active rows; ~1 on
@@ -441,6 +440,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         # must not read as a numerical floor
         stalled = (no_prog >= o.stall_iter) & \
             (err_prim < 10.0 * o.constr_viol_tol) & (mu <= 1e-3)
+        stalled = s.stalled | (stalled & ~converged)
         converged = converged | stalled
 
         # -- barrier update ------------------------------------------------ #
@@ -492,18 +492,10 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         lam_reg = reg_row
         Cn = Cnext[:-1]                                 # [N-1, m, dz]
 
-        # -- adaptive-shift two-factorization strategy ---------------------- #
-        # N: exact Newton with the smallest workable inertia shift (the
-        #    delta_w ladder is carried ACROSS iterations, Ipopt-style:
-        #    shrink after success, jump to the guaranteed shift after
-        #    failure), factored through the condensed dual Schur
-        #    complement + block cyclic reduction (kkt.py) — O(log2 N)
-        #    sequential depth, all batched matmuls.
-        # G: guaranteed-PD fallback via a per-knot Gershgorin diagonal
-        #    shift — always factors, no eigendecomposition anywhere.
-        # The SOC/Mehrotra-corrected step S reuses whichever factorization
-        # was selected. Fixed two factorizations per iteration: static
-        # shapes, no dynamic ladder.
+        # -- KKT factorization machinery ------------------------------------ #
+        # Factorization backend: the condensed dual Schur complement +
+        # block cyclic reduction (kkt.py) by default — O(log2 N)
+        # sequential depth, all batched matmuls.
         if dg:
             Pblk = jnp.concatenate([Cz, Jg], axis=1)    # [N, mb, dg]
 
@@ -580,95 +572,35 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         bg0 = b if dg else jnp.zeros(0, f64)
         rng_dz = jnp.arange(dz)
 
-        # -- vectorized inertia ladder -------------------------------------- #
-        # Ipopt's delta_w ladder, but all trials factor IN PARALLEL under
-        # vmap (same sequential depth, negligible extra FLOPs on tiny
-        # blocks). Trials: [carried shift shrunk (ambitious), two
-        # geometric growths, the matmul-only PSD-clamped Hessian
-        # (kkt.psd_clamp — preserves all positive curvature; the quality
-        # fallback), per-knot Gershgorin shift (strictly diagonally
-        # dominant, guaranteed PD — the last resort)]. No
-        # eigendecomposition anywhere. The first successful trial wins
-        # and seeds the next iteration's ladder.
-        dA = jnp.where(s.delta_w <= o.delta_w_min, 0.0,
-                       s.delta_w / o.delta_w_shrink)
-        diagW = Wzz[:, rng_dz, rng_dz]
-        offsum = jnp.sum(jnp.abs(Wzz), axis=-1) - jnp.abs(diagW)
-        gersh = jnp.min(diagW - offsum, axis=-1)        # [N]
-        floor_k = hess_floor * jnp.maximum(
-            1.0, jnp.max(jnp.abs(diagW), axis=-1))
-        dGersh = jnp.maximum(0.0, -gersh) + floor_k     # [N]
-        g1 = jnp.maximum(o.delta_w0, dA * o.delta_w_growth)
-        g2 = g1 * o.delta_w_growth
+        # -- two-direction strategy ----------------------------------------- #
+        # N: exact Newton on the full indefinite KKT (quadratic tail), kept
+        #    only if the factorization goes through (primal blocks PD along
+        #    the condensed/quasidefinite recursion) AND it passes a
+        #    positive-curvature test.
+        # C: globally-robust fallback with the matmul-only PSD-clamped
+        #    Lagrangian Hessian (kkt.psd_clamp — preserves all positive
+        #    curvature, no eigendecomposition) — always a descent direction.
+        # The SOC/Mehrotra-corrected step S reuses the Newton factorization.
+        # Fixed two factorizations per iteration: static shapes, no ladder.
+        auxN = factorize(Wzz)
+        dZN, dlamN, dgsN = kkt_solve(auxN, a, -ch, bg0)
+        okN = curvature_ok(Wzz, dZN, dlamN, dgsN)
+        # Sanitize: a failed factorization signals with NaNs, which must
+        # not leak into the SOC right-hand sides or the merit.
+        dZN = jnp.where(okN, dZN, 0.0)
+        dlamN = jnp.where(okN, dlamN, 0.0)
+        dgsN = jnp.where(okN, dgsN, 0.0)
+
         HB = psd_clamp(Hext[:, :dz, :dz], hess_floor)
         WzzC = HB.at[:, rng_dz, rng_dz].add(SigL + SigU)
-        shifts = jnp.stack([
-            jnp.broadcast_to(dA, (N,)), jnp.broadcast_to(g1, (N,)),
-            jnp.broadcast_to(g2, (N,)), dGersh])        # [K-1, N]
-        Wzz_t = jnp.broadcast_to(Wzz[None], (4, N, dz, dz))
-        Wzz_t = Wzz_t.at[:, :, rng_dz, rng_dz].add(shifts[:, :, None])
-        # order: ambitious, g1, g2, clamp, Gershgorin
-        Wzz_t = jnp.concatenate(
-            [Wzz_t[:3], WzzC[None], Wzz_t[3:]], axis=0)
-        K_tr = 5
-        gmax = jnp.max(dGersh)
-        tr_scalar = jnp.stack(
-            [dA, g1, g2,
-             jnp.minimum(g2 * o.delta_w_growth, gmax),
-             jnp.minimum(g2 * o.delta_w_growth, gmax)])
-
-        auxs = jax.vmap(factorize)(Wzz_t)
-        dZt, dlamt, dgst = jax.vmap(
-            lambda ax: kkt_solve(ax, a, -ch, bg0))(auxs)
-        okt = jax.vmap(curvature_ok)(Wzz_t, dZt, dlamt, dgst)      # [K]
-        pick_t = jnp.argmax(okt)                        # first success
-        okN = jnp.any(okt)
-
-        def _sel_leaf(x):
-            return x[pick_t] if hasattr(x, "dtype") else x
-
-        aux = jax.tree_util.tree_map(_sel_leaf, auxs)
-        # Sanitize NaNs from failed factorizations so they cannot leak
-        # into the SOC right-hand sides or the merit.
-        dZN = jnp.where(okN, dZt[pick_t], 0.0)
-        dlamN = jnp.where(okN, dlamt[pick_t], 0.0)
-        dgsN = jnp.where(okN, dgst[pick_t], 0.0)
-        # The PSD-clamped direction is ALSO kept as its own line-search
-        # candidate: a shift trial can "succeed" (factor) while being
-        # hugely over-shifted — a microscopic quasi-gradient step — and
-        # only a merit comparison against the clamp direction (which
-        # preserves all positive curvature exactly) catches that.
-        okC = okt[3]
-        dZC = jnp.where(okC, dZt[3], 0.0)
-        dlamC = jnp.where(okC, dlamt[3], 0.0)
-        dgsC = jnp.where(okC, dgst[3], 0.0)
-
-        # Dual-step safeguard: the AL merit is nearly dual-blind
-        # (d merit/d lam = -ch ~ 0 near feasibility), so a direction with
-        # a wild multiplier component can pass Armijo at alpha = 1 while
-        # exploding the dual error and poisoning every later iteration
-        # (the polluted lam corrupts the Newton rhs). Clip the dual
-        # component of EVERY candidate to a trust region that still
-        # allows ~10x multiplier growth per iteration — fast enough to
-        # reach any multiplier scale, slow enough that the merit/KKT
-        # tests can veto a bad trajectory. (Ipopt's analogue: multiplier
-        # safeguards + acceptance filter.)
-        lam_scale = 1.0 + (jnp.max(jnp.abs(lam)) if lam.size
-                           else jnp.asarray(0.0, f64))
-        dlam_cap = 10.0 * lam_scale
-
-        def clip_dual(dlam_):
-            if not dlam_.size:
-                return dlam_
-            mx = jnp.max(jnp.abs(dlam_))
-            return dlam_ * jnp.minimum(1.0, dlam_cap / jnp.maximum(mx, 1e-30))
-
-        dlamN = clip_dual(dlamN)
-        dlamC = clip_dual(dlamC)
-        okA = okt[0]                                    # diagnostics
-        okB = okt[K_tr - 1]
-        delta_w_new = jnp.where(
-            okN, tr_scalar[pick_t], tr_scalar[K_tr - 1] * o.delta_w_growth)
+        auxC = factorize(WzzC)
+        dZC, dlamC, dgsC = kkt_solve(auxC, a, -ch, bg0)
+        okC = jnp.all(jnp.isfinite(dZC)) & jnp.all(jnp.isfinite(dlamC)) \
+            & jnp.all(jnp.isfinite(dgsC))
+        dZC = jnp.where(okC, dZC, 0.0)
+        dlamC = jnp.where(okC, dlamC, 0.0)
+        dgsC = jnp.where(okC, dgsC, 0.0)
+        aux = auxN
 
         # -- second-order corrected step S ---------------------------------- #
         # (i) Mehrotra-style complementarity corrector: push the dZ*dzL
@@ -703,7 +635,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         okS = okN & jnp.all(jnp.isfinite(dZS)) & jnp.all(jnp.isfinite(dlamS)) \
             & jnp.all(jnp.isfinite(dgsS))
         dZS = jnp.where(okS, dZS, 0.0)
-        dlamS = jnp.where(okS, clip_dual(dlamS), 0.0)
+        dlamS = jnp.where(okS, dlamS, 0.0)
         dgsS = jnp.where(okS, dgsS, 0.0)
 
         # -- fraction-to-boundary helper ------------------------------------ #
@@ -753,7 +685,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             return ap
 
         # ONE merged parallel Armijo backtracking over all candidate
-        # directions (SOC-corrected step S, ladder Newton step N, clamp
+        # directions (SOC-corrected step S, exact Newton step N, clamp
         # step C): all 3 x ls_iters merit evaluations run in a single
         # vmapped batch.
         dZ2 = jnp.stack([dZS, dZN, dZC])
@@ -792,9 +724,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         phiS, phiN, phiC = phi2[0], phi2[1], phi2[2]
         anyS, anyN, anyC = any2[0], any2[1], any2[2]
 
-        # -- full-residual trial machinery ---------------------------------- #
-        # The mu-KKT error of a candidate step, with the bound duals moved
-        # by their own (fraction-to-boundary-capped) Newton updates.
+        # -- bound-dual update machinery ------------------------------------ #
         def dual_updates(dZ_, dgs_):
             dzL_ = jnp.where(hasL, mu / gapL - s.zL - SigL * dZ_, 0.0)
             dzU_ = jnp.where(hasU, mu / gapU - s.zU + SigU * dZ_, 0.0)
@@ -813,70 +743,24 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
                     max_step(s.gL, dgL_, ghasL), max_step(s.gU, dgU_, ghasU)))
             return dzL_, dzU_, dgL_, dgU_, ad
 
-        def err2_at(dZ_, dgs_, dlam_, al):
-            dzL_, dzU_, dgL_, dgU_, aSd = dual_updates(dZ_, dgs_)
-            ad = jnp.minimum(al, aSd)
-            _, e2 = full_kkt_error(
-                Z + al * dZ_, g + al * dgs_, lam + al * dlam_,
-                s.zL + ad * dzL_, s.zU + ad * dzU_,
-                s.gL + ad * dgL_, s.gU + ad * dgU_, mu)
-            return jnp.where(jnp.isfinite(e2), e2, jnp.inf)
-
-        # -- primal-dual (residual) acceptance of the Newton-SOC step ------- #
-        # The l1 merit is blind to dual progress and rejects pure-dual
-        # Newton steps near the central path; accept the SOC step outright
-        # whenever it contracts the full mu-KKT residual.
-        aSp0 = alpha_max_primal(dZS, dgsS)
-        alphasS = aSp0 * (0.5 ** jnp.arange(o.s_trial_evals, dtype=f64))
-        errsS = jax.vmap(lambda al: err2_at(dZS, dgsS, dlamS, al))(alphasS)
-        bestS = jnp.argmin(errsS)
-        aSp, errS2 = alphasS[bestS], errsS[bestS]
-        _, err2_now = full_kkt_error(Z, g, lam, s.zL, s.zU, s.gL, s.gU, mu)
-        # Residual acceptance is only sound for the (near-)unmodified
-        # Newton direction, whose quadratic contraction the test relies
-        # on — a clamped/heavily-shifted fallback direction can shuffle
-        # the residual 2-norm downward forever without real progress.
-        true_newton = okt[0] & (dA <= jnp.maximum(
-            o.delta_w0, 1e-3 * jnp.max(jnp.abs(diagW))))
-        newton_ok = okS & true_newton & jnp.isfinite(errS2) & \
-            (errS2 <= (1.0 - 0.1 * aSp) * err2_now)
-
-        # -- dual-safety screen + merit selection --------------------------- #
-        # The AL merit is nearly dual-blind, so an (inexact-)Newton step
-        # can pass Armijo at alpha ~ 1 while exploding the dual residual
-        # and poisoning every later iterate (the polluted lam corrupts
-        # the next Newton rhs). Screen each candidate at its merit-chosen
-        # step: it may not grow the full mu-KKT 2-norm by more than
-        # rho_dual. If no candidate is safe (e.g. multipliers must grow a
-        # lot this iteration), fall back to pure merit selection. A
-        # residual-accepted true-Newton SOC step always wins.
-        rho_dual = 3.0
-        err3 = jnp.stack([err2_at(dZS, dgsS, dlamS, alphaS),
-                          err2_at(dZN, dgsN, dlamN, alphaN),
-                          err2_at(dZC, dgsC, dlamC, alphaC)])
-        ok3 = jnp.stack([okS & anyS, okN & anyN, okC & anyC])
-        safe3 = ok3 & (err3 <= rho_dual * err2_now)
+        # -- merit selection ------------------------------------------------ #
+        # Pick the valid candidate with the lowest merit at its own
+        # Armijo-accepted step (argmin prefers the SOC-corrected Newton
+        # step S on ties); if every direction is invalid, fall back to
+        # the clamp direction C at the minimum step — its Armijo alpha
+        # still guarantees merit descent whenever it exists. Residual-
+        # based "accept the raw Newton step even when the merit rejects
+        # it" heuristics were tried and REGRESS: the AL merit is nearly
+        # dual-blind, so a residual-2-norm line search can latch onto
+        # steps whose multiplier component explodes, entering a limit
+        # cycle that never converges (round-2 regression, VERDICT.md).
         INF = jnp.asarray(jnp.inf, f64)
-        phi3 = jnp.where(safe3, jnp.stack([phiS, phiN, phiC]), INF)
-        phi3 = phi3.at[0].set(jnp.where(newton_ok, -INF, phi3[0]))
-        alphaS = jnp.where(newton_ok, aSp, alphaS)
-        pick_merit = jnp.argmin(phi3)
-        # no safe candidate: take the least dual-damaging valid direction
-        # (its Armijo alpha still guarantees merit descent) — the escape
-        # hatch for iterations where the multipliers must genuinely grow.
-        pick_safe = jnp.argmin(jnp.where(ok3, err3, jnp.inf))
-        pick = jnp.where(newton_ok | jnp.any(safe3), pick_merit, pick_safe)
+        phi3 = jnp.stack([jnp.where(okS & anyS, phiS, INF),
+                          jnp.where(okN & anyN, phiN, INF),
+                          jnp.where(okC & anyC, phiC, INF)])
+        pick = jnp.argmin(phi3)
+        pick = jnp.where(jnp.isinf(jnp.min(phi3)), 2, pick)
         delta_used = pick.astype(f64)
-        import os
-        if os.environ.get("PX_DEBUG_PICK"):
-            jax.debug.print(
-                "it={i} e2now={e:.3e} errS={a:.3e} errN={b:.3e} "
-                "errC={c:.3e} phi0={p0:.6e} phiS={ps:.6e} phiN={pn:.6e} "
-                "phiC={pc:.6e} aS={als:.3e} aN={aln:.3e} aC={alc:.3e} "
-                "nok={no} pick={pk}",
-                i=s.it, e=err2_now, a=err3[0], b=err3[1], c=err3[2],
-                p0=phi0, ps=phiS, pn=phiN, pc=phiC,
-                als=alphaS, aln=alphaN, alc=alphaC, no=newton_ok, pk=pick)
 
         def sel(xs):
             return jnp.stack(xs)[pick]
@@ -890,13 +774,8 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         dzL, dzU, dgL, dgU, alpha_d = dual_updates(dZ, dgs)
 
         # -- masked update ------------------------------------------------- #
-        # The bound-dual step is COUPLED to the primal step
-        # (min(alpha, alpha_d)): a full dual lurch on a tiny primal step
-        # is incoherent (the dual update formula assumes the full primal
-        # move) and is exactly what the err2_at safety screen simulated —
-        # screen and update must agree.
         step = jnp.where(converged, 0.0, alpha)
-        dstep = jnp.where(converged, 0.0, jnp.minimum(alpha, alpha_d))
+        dstep = jnp.where(converged, 0.0, alpha_d)
         Z_new = Z + step * dZ
         g_new = g + step * dgs
         lam_new = lam + step * dlam
@@ -932,10 +811,9 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             else jnp.asarray(0.0, f64),
             it=s.it + 1, converged=converged, kkt_err=kkt0, alpha=alpha,
             delta_used=delta_used
-            + 10.0 * okA.astype(f64) + 100.0 * okB.astype(f64)
-            + 1000.0 * anyN.astype(f64),
+            + 10.0 * okN.astype(f64) + 100.0 * okC.astype(f64),
             f_prev=f_now, stagnant=stagnant,
-            delta_w=delta_w_new, kkt_best=kkt_best, no_prog=no_prog)
+            kkt_best=kkt_best, no_prog=no_prog, stalled=stalled)
 
     return state, body
 

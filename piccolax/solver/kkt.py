@@ -1,16 +1,15 @@
 """Block-tridiagonal KKT solves.
 
-The condensed IPM system S dlam = r has one m-dim block per knot with
-nearest-neighbor coupling only (constraints touch adjacent knots), i.e. a
-symmetric positive-definite block-tridiagonal matrix — the structured
-replacement for Ipopt's general sparse LDL^T (reference hot loop:
-SURVEY.md section 3.2). Two solvers:
+The per-iteration IPM KKT system is block-tridiagonal over the knot axis
+(constraints touch adjacent knots only) — the structured replacement for
+Ipopt's general sparse LDL^T (reference hot loop: SURVEY.md section 3.2).
+Production backends:
 
-- `block_thomas_*`: sequential block Cholesky elimination via `lax.scan`
-  (O(N) depth). The batch axis (many problems solved simultaneously via
-  vmap) is where TPU throughput comes from.
-- `cyclic_reduction_solve`: parallel cyclic reduction (O(log N) depth),
-  for the knot-sharded multi-chip path.
+- `condensed_factor`/`condensed_solve`: condensed dual Schur complement
+  solved by block cyclic reduction (`cr_factor`/`cr_solve`) — O(log2 N)
+  sequential depth, all batched matmuls (the TPU default).
+- `qd_factor`/`qd_solve`: sequential quasidefinite block-tridiagonal
+  recursion (O(N) scan; the reference implementation).
 
 Conventions: diag [N, m, m], upper [N-1, m, m] with
 S[k, k+1] = upper[k]; S[k+1, k] = upper[k]^T; rhs [N, m] or [N, m, r].
@@ -22,13 +21,6 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "block_thomas_factor",
-    "block_thomas_solve",
-    "block_tridiag_solve",
-    "block_tridiag_matvec",
-    "block_ldl_factor",
-    "block_ldl_solve",
-    "cyclic_reduction_solve",
     "cr_factor",
     "cr_solve",
     "tri_lower_inv",
@@ -39,244 +31,6 @@ __all__ = [
     "condensed_factor",
     "condensed_solve",
 ]
-
-
-def _chol_solve(L, B):
-    """Solve A X = B given L = chol(A) (lower); B [..., m, r]."""
-    Y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
-    return jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(L, -1, -2), Y, lower=False)
-
-
-def block_thomas_factor(diag, upper):
-    """Block Cholesky-Thomas factorization.
-
-    Computes the block LDL^T-like factorization of the SPD block
-    tridiagonal S: carries Schur-complemented diagonal blocks
-    Dt_k = D_k - U_{k-1}^T Dt_{k-1}^{-1} U_{k-1} and returns their
-    Cholesky factors [N, m, m] for reuse across multiple solves.
-    """
-    N = diag.shape[0]
-
-    def step(L_prev, inputs):
-        D_k, U_prev = inputs
-        # W = Dt_{k-1}^{-1} U_{k-1}
-        W = _chol_solve(L_prev, U_prev)
-        Dt = D_k - jnp.swapaxes(U_prev, -1, -2) @ W
-        L = jnp.linalg.cholesky(Dt)
-        return L, L
-
-    L0 = jnp.linalg.cholesky(diag[0])
-    if N == 1:
-        return L0[None]
-    _, Ls = jax.lax.scan(step, L0, (diag[1:], upper))
-    return jnp.concatenate([L0[None], Ls], axis=0)
-
-
-def block_thomas_solve(Ls, upper, rhs):
-    """Solve S x = rhs given factors from `block_thomas_factor`.
-
-    rhs [N, m] or [N, m, r]; returns same shape.
-    """
-    squeeze = rhs.ndim == 2
-    if squeeze:
-        rhs = rhs[..., None]
-    N = rhs.shape[0]
-
-    # Forward: y_k = rhs_k - U_{k-1}^T Dt_{k-1}^{-1} y_{k-1}
-    def fwd(y_prev_solved, inputs):
-        r_k, U_prev, L_prev = inputs
-        y_k = r_k - jnp.swapaxes(U_prev, -1, -2) @ _chol_solve(L_prev, y_prev_solved)
-        return y_k, y_k
-
-    if N == 1:
-        ys = rhs
-    else:
-        _, ys_rest = jax.lax.scan(fwd, rhs[0], (rhs[1:], upper, Ls[:-1]))
-        ys = jnp.concatenate([rhs[0][None], ys_rest], axis=0)
-
-    # Backward: x_N = Dt_N^{-1} y_N;  x_k = Dt_k^{-1} (y_k - U_k x_{k+1})
-    x_last = _chol_solve(Ls[-1], ys[-1])
-
-    def bwd(x_next, inputs):
-        y_k, U_k, L_k = inputs
-        x_k = _chol_solve(L_k, y_k - U_k @ x_next)
-        return x_k, x_k
-
-    if N == 1:
-        xs = x_last[None]
-    else:
-        _, xs_rest = jax.lax.scan(
-            bwd, x_last, (ys[:-1], upper, Ls[:-1]), reverse=True)
-        xs = jnp.concatenate([xs_rest, x_last[None]], axis=0)
-    return xs[..., 0] if squeeze else xs
-
-
-def block_tridiag_solve(diag, upper, rhs):
-    """One-shot factor + solve."""
-    Ls = block_thomas_factor(diag, upper)
-    return block_thomas_solve(Ls, upper, rhs)
-
-
-def block_tridiag_matvec(diag, upper, x):
-    """S @ x for checking residuals. x [N, m] or [N, m, r]."""
-    squeeze = x.ndim == 2
-    if squeeze:
-        x = x[..., None]
-    out = diag @ x
-    out = out.at[:-1].add(upper @ x[1:])
-    out = out.at[1:].add(jnp.swapaxes(upper, -1, -2) @ x[:-1])
-    return out[..., 0] if squeeze else out
-
-
-def block_ldl_factor(diag, upper):
-    """Symmetric INDEFINITE block-tridiagonal factorization (no pivoting
-    across blocks) with inertia.
-
-    Computes the Schur-complemented diagonal blocks
-    Dt_k = D_k - U_{k-1}^T Dt_{k-1}^{-1} U_{k-1} of the block LDL^T.
-    By Sylvester's law the inertia of the full matrix equals the summed
-    inertia of the Dt blocks — this is what drives Ipopt-style
-    inertia-corrected regularization without forming eigenvectors of the
-    full KKT. Returns (Dts [N, mb, mb], n_neg, min_abs_eig).
-    """
-    N = diag.shape[0]
-
-    def step(Dt_prev, inputs):
-        D_k, U_prev = inputs
-        X = jnp.linalg.solve(Dt_prev, U_prev)
-        Dt = D_k - jnp.swapaxes(U_prev, -1, -2) @ X
-        Dt = 0.5 * (Dt + jnp.swapaxes(Dt, -1, -2))
-        return Dt, Dt
-
-    Dt0 = diag[0]
-    if N == 1:
-        Dts = Dt0[None]
-    else:
-        _, rest = jax.lax.scan(step, Dt0, (diag[1:], upper))
-        Dts = jnp.concatenate([Dt0[None], rest], axis=0)
-    eigs = jnp.linalg.eigvalsh(Dts)
-    n_neg = jnp.sum(eigs < 0)
-    min_abs = jnp.min(jnp.abs(eigs))
-    return Dts, n_neg, min_abs
-
-
-def block_ldl_solve(Dts, upper, rhs):
-    """Solve the symmetric block-tridiagonal system given `block_ldl_factor`
-    output. rhs [N, mb] or [N, mb, r]."""
-    squeeze = rhs.ndim == 2
-    if squeeze:
-        rhs = rhs[..., None]
-    N = rhs.shape[0]
-
-    def fwd(y_prev, inputs):
-        r_k, U_prev, Dt_prev = inputs
-        y_k = r_k - jnp.swapaxes(U_prev, -1, -2) @ jnp.linalg.solve(
-            Dt_prev, y_prev)
-        return y_k, y_k
-
-    if N == 1:
-        ys = rhs
-    else:
-        _, rest = jax.lax.scan(fwd, rhs[0], (rhs[1:], upper, Dts[:-1]))
-        ys = jnp.concatenate([rhs[0][None], rest], axis=0)
-
-    x_last = jnp.linalg.solve(Dts[-1], ys[-1])
-
-    def bwd(x_next, inputs):
-        y_k, U_k, Dt_k = inputs
-        x_k = jnp.linalg.solve(Dt_k, y_k - U_k @ x_next)
-        return x_k, x_k
-
-    if N == 1:
-        xs = x_last[None]
-    else:
-        _, rest = jax.lax.scan(bwd, x_last, (ys[:-1], upper, Dts[:-1]),
-                               reverse=True)
-        xs = jnp.concatenate([rest, x_last[None]], axis=0)
-    return xs[..., 0] if squeeze else xs
-
-
-def cyclic_reduction_solve(diag, upper, rhs, max_levels: int | None = None):
-    """Parallel block cyclic reduction for SPD block-tridiagonal systems.
-
-    O(log2 N) sequential stages, each stage fully parallel over knots —
-    the knot-axis analogue of sequence parallelism (SURVEY.md section 5.7).
-    Requires padding to handle arbitrary N; operates on lower/diag/upper
-    form internally. rhs [N, m] or [N, m, r].
-    """
-    squeeze = rhs.ndim == 2
-    if squeeze:
-        rhs = rhs[..., None]
-    N, m, _ = diag.shape
-    lower = jnp.swapaxes(upper, -1, -2)            # S[k+1,k]
-    # Pad to full length with identity blocks (decoupled trivial equations)
-    import math
-    levels = max_levels or max(1, math.ceil(math.log2(max(N, 2))))
-    Np = 2 ** levels
-    pad = Np - N
-    eye = jnp.broadcast_to(jnp.eye(m, dtype=diag.dtype), (pad, m, m))
-    D = jnp.concatenate([diag, eye], axis=0)
-    zeros_off = jnp.zeros((pad + 1, m, m), dtype=diag.dtype)
-    U = jnp.concatenate([upper, zeros_off], axis=0)[:Np]       # U[k] couples k,k+1
-    Lo = jnp.concatenate([lower, zeros_off], axis=0)[:Np]      # Lo[k] couples k+1,k
-    R = jnp.concatenate(
-        [rhs, jnp.zeros((pad, m, rhs.shape[-1]), rhs.dtype)], axis=0)
-
-    # Lo_k here: coupling of eq k to x_{k-1}: shift so Lo[k] = S[k, k-1]
-    Lo = jnp.concatenate([jnp.zeros((1, m, m), diag.dtype), Lo[:-1]], axis=0)
-    # U[k] = S[k, k+1] already aligned; ensure U[last] = 0
-    U = U.at[Np - 1].set(0.0)
-
-    def reduce_level(carry, _):
-        D, Lo, U, R, stride = carry
-        idx = jnp.arange(Np)
-        im = jnp.clip(idx - stride, 0, Np - 1)
-        ip = jnp.clip(idx + stride, 0, Np - 1)
-        # new D_i = D_i - Lo_i D_{i-s}^{-1} U_{i-s} - U_i D_{i+s}^{-1} Lo_{i+s}
-        Dm = D[im]
-        Dp = D[ip]
-        A = Lo @ jnp.linalg.solve(Dm, U[im])
-        B = U @ jnp.linalg.solve(Dp, Lo[ip])
-        newD = D - A - B
-        newR = (R - Lo @ jnp.linalg.solve(Dm, R[im])
-                - U @ jnp.linalg.solve(Dp, R[ip]))
-        newLo = -Lo @ jnp.linalg.solve(Dm, Lo[im])
-        newU = -U @ jnp.linalg.solve(Dp, U[ip])
-        # Only equations at the coarser level update; others keep old values
-        active = (idx % (2 * stride) == 0)
-        sel = active[:, None, None]
-        D2 = jnp.where(sel, newD, D)
-        R2 = jnp.where(active[:, None, None], newR, R)
-        Lo2 = jnp.where(sel, newLo, Lo)
-        U2 = jnp.where(sel, newU, U)
-        return (D2, Lo2, U2, R2, stride * 2), None
-
-    carry = (D, Lo, U, R, 1)
-    for _ in range(levels):
-        carry, _ = reduce_level(carry, None)
-    D, Lo, U, R, _ = carry
-
-    # Back substitution: solve coarsest, then refine level by level
-    x = jnp.zeros_like(R)
-    x = x.at[0].set(jnp.linalg.solve(D[0], R[0]))
-
-    stride = Np // 2
-    for _ in range(levels):
-        idx = jnp.arange(Np)
-        im = jnp.clip(idx - stride, 0, Np - 1)
-        ip = jnp.clip(idx + stride, 0, Np - 1)
-        has_left = idx - stride >= 0
-        has_right = idx + stride < Np
-        rhs_k = (R - jnp.where(has_left[:, None, None], Lo @ x[im], 0.0)
-                 - jnp.where(has_right[:, None, None], U @ x[ip], 0.0))
-        x_new = jnp.linalg.solve(D, rhs_k)
-        solve_now = (idx % stride == 0) & (idx % (2 * stride) != 0)
-        x = jnp.where(solve_now[:, None, None], x_new, x)
-        stride = max(stride // 2, 1)
-
-    x = x[:N]
-    return x[..., 0] if squeeze else x
 
 
 # --------------------------------------------------------------------------- #

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 import piccolax.native as native
-from piccolax.solver.kkt import block_tridiag_solve, qd_factor, qd_solve
+from piccolax.solver.kkt import cr_factor, cr_solve, qd_factor, qd_solve
 
 pytestmark = pytest.mark.skipif(
     not native.available(), reason="native toolchain unavailable")
@@ -103,8 +103,10 @@ def test_native_spd_tridiag_matches_jax():
     rhs = rng.standard_normal((N, m))
     x_nat, status = native.spd_tridiag_solve(diag, upper, rhs)
     assert status == 0
-    x_jax = np.asarray(block_tridiag_solve(
-        *map(np.asarray, (diag, upper, rhs))))
+    import jax.numpy as jnp
+    x_jax = np.asarray(cr_solve(
+        cr_factor(jnp.asarray(diag), jnp.asarray(upper)),
+        jnp.asarray(rhs)))
     np.testing.assert_allclose(x_nat, x_jax, rtol=1e-7, atol=1e-9)
 
 

@@ -9,87 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from piccolax.solver.ipm import IPMOptions, solve_nlp
-from piccolax.solver.kkt import (
-    block_ldl_factor,
-    block_ldl_solve,
-    block_tridiag_matvec,
-    block_tridiag_solve,
-    cyclic_reduction_solve,
-)
 from piccolax.solver.nlp import CollocationNLP
-
-
-def _dense_from_blocks(diag, upper):
-    N, m, _ = diag.shape
-    S = np.zeros((N * m, N * m))
-    for k in range(N):
-        S[k * m:(k + 1) * m, k * m:(k + 1) * m] = diag[k]
-    for k in range(N - 1):
-        S[k * m:(k + 1) * m, (k + 1) * m:(k + 2) * m] = upper[k]
-        S[(k + 1) * m:(k + 2) * m, k * m:(k + 1) * m] = upper[k].T
-    return S
-
-
-def _random_spd_tridiag(N, m, seed=0):
-    rng = np.random.default_rng(seed)
-    upper = rng.standard_normal((N - 1, m, m)) * 0.3
-    diag = np.stack([
-        (lambda A: A @ A.T + 3 * np.eye(m))(rng.standard_normal((m, m)))
-        for _ in range(N)
-    ])
-    return diag, upper
-
-
-def test_block_thomas_matches_dense():
-    N, m = 11, 5
-    diag, upper = _random_spd_tridiag(N, m)
-    S = _dense_from_blocks(diag, upper)
-    rhs = np.random.default_rng(1).standard_normal((N, m))
-    x = block_tridiag_solve(jnp.asarray(diag), jnp.asarray(upper),
-                            jnp.asarray(rhs))
-    x_dense = np.linalg.solve(S, rhs.reshape(-1)).reshape(N, m)
-    np.testing.assert_allclose(np.asarray(x), x_dense, atol=1e-10)
-    r = block_tridiag_matvec(jnp.asarray(diag), jnp.asarray(upper), x)
-    np.testing.assert_allclose(np.asarray(r), rhs, atol=1e-10)
-
-
-def test_cyclic_reduction_matches_thomas():
-    for N in (4, 7, 16):
-        diag, upper = _random_spd_tridiag(N, 3, seed=N)
-        rhs = np.random.default_rng(N).standard_normal((N, 3))
-        x1 = block_tridiag_solve(jnp.asarray(diag), jnp.asarray(upper),
-                                 jnp.asarray(rhs))
-        x2 = cyclic_reduction_solve(jnp.asarray(diag), jnp.asarray(upper),
-                                    jnp.asarray(rhs))
-        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-9)
-
-
-def test_block_ldl_indefinite():
-    # saddle system [[W, J^T], [J, -delta]]: correct solve + inertia
-    rng = np.random.default_rng(3)
-    N, nz, mlam = 6, 4, 2
-    mb = nz + mlam
-    diag = np.zeros((N, mb, mb))
-    upper = np.zeros((N - 1, mb, mb))
-    for k in range(N):
-        A = rng.standard_normal((nz, nz))
-        W = A @ A.T + np.eye(nz)
-        J = rng.standard_normal((mlam, nz))
-        diag[k, :nz, :nz] = W
-        diag[k, :nz, nz:] = J.T
-        diag[k, nz:, :nz] = J
-        diag[k, nz:, nz:] = -1e-8 * np.eye(mlam)
-    for k in range(N - 1):
-        upper[k, nz:, :nz] = rng.standard_normal((mlam, nz)) * 0.2
-    S = _dense_from_blocks(diag, upper)
-    rhs = rng.standard_normal((N, mb))
-    Dts, n_neg, min_abs = block_ldl_factor(jnp.asarray(diag),
-                                           jnp.asarray(upper))
-    x = block_ldl_solve(Dts, jnp.asarray(upper), jnp.asarray(rhs))
-    x_dense = np.linalg.solve(S, rhs.reshape(-1)).reshape(N, mb)
-    np.testing.assert_allclose(np.asarray(x), x_dense, atol=1e-8)
-    ev = np.linalg.eigvalsh(S)
-    assert int(n_neg) == int((ev < 0).sum())
 
 
 def test_ipm_box_qp():
