@@ -12,6 +12,7 @@ from . import control, quantum, solver
 from .control import (
     BangBangPulseProblem,
     MinimumTimeProblem,
+    PiccoloOptions,
     QuantumControlProblem,
     SamplingProblem,
     SmoothPulseProblem,

@@ -5,6 +5,7 @@ mirrors the reference architectural invariant (src/control/CONTEXT.md).
 """
 
 from . import constraints, integrators, objectives
+from .options import PiccoloOptions
 from .problem import QuantumControlProblem, build_nlp
 from .templates import (
     BangBangPulseProblem,

@@ -22,12 +22,16 @@ from ..quantum import isomorphisms as iso
 __all__ = [
     "EqRowGroup",
     "FinalUnitaryFidelityConstraint",
+    "FinalUnitaryFreePhaseFidelityConstraint",
     "FinalKetFidelityConstraint",
     "FinalCoherentKetFidelityConstraint",
     "FinalDensityFidelityConstraint",
     "LeakageConstraint",
     "L1SlackConstraint",
     "BoundStateL2Constraint",
+    "ComplexModulusConstraint",
+    "GlobalPinConstraint",
+    "iso_entry_pairs",
 ]
 
 
@@ -83,6 +87,41 @@ class FinalUnitaryFidelityConstraint(_ConstraintBase):
             s = gview(self.slack_name)[0]
             return jnp.array([self._F(get(self.state_name), params)
                               - self.min_fidelity - s])
+
+        return [EqRowGroup(1, mask, fn)]
+
+
+class FinalUnitaryFreePhaseFidelityConstraint(FinalUnitaryFidelityConstraint):
+    """F(U_{N-1}, Z(theta) goal) >= min_fidelity with theta read from the
+    trajectory globals (reference: constraints.jl:208)."""
+
+    def __init__(self, state_name: str, min_fidelity: float, phase_name: str,
+                 n_qubits: int, subspace=None, slack_name=None):
+        super().__init__(state_name, min_fidelity, subspace, slack_name)
+        self.phase_name = phase_name
+        self.n_qubits = n_qubits
+
+    def eq_rows(self, N: int):
+        mask = np.zeros((N, 1))
+        mask[N - 1] = 1.0
+
+        def fn(k, get, gview, g, params):
+            x = get(self.state_name)
+            goal = params["goal"][self.state_name]
+            phases = gview(self.phase_name)
+            if self.subspace is not None:
+                n = int(round(np.sqrt(x.shape[-1] // 2)))
+                idx = iso.operator_subspace_iso_indices(n, self.subspace)
+                x, goal = x[idx], goal[idx]
+            m = int(round(np.sqrt(x.shape[-1] // 2)))
+            ang = dyn.free_phase_angles(phases, self.n_qubits, m)
+            goal = iso.apply_row_phase_iso(goal, jnp.cos(ang), jnp.sin(ang))
+            if self.subspace is not None:
+                F = dyn.pedersen_fidelity_iso(x, goal)
+            else:
+                F = dyn.unitary_fidelity_iso(x, goal)
+            s = gview(self.slack_name)[0]
+            return jnp.array([F - self.min_fidelity - s])
 
         return [EqRowGroup(1, mask, fn)]
 
@@ -198,20 +237,57 @@ class L1SlackConstraint(_ConstraintBase):
         return [EqRowGroup(self.dim, mask, fn)]
 
 
+class GlobalPinConstraint(_ConstraintBase):
+    """Pin a global variable to a calibration target via an equality row
+    at k=0 (reference: apply_calibration_targets! /
+    DTO fix_global_variable!, _problem_templates.jl:393)."""
+
+    def __init__(self, name: str, value):
+        self.name = name
+        self.value = np.atleast_1d(np.asarray(value, dtype=float))
+
+    def eq_rows(self, N: int):
+        d = self.value.shape[0]
+        mask = np.zeros((N, d))
+        mask[0] = 1.0
+        target = jnp.asarray(self.value)
+
+        def fn(k, get, gview, g, params):
+            return gview(self.name) - target
+
+        return [EqRowGroup(d, mask, fn)]
+
+
+def iso_entry_pairs(dim: int, n: int):
+    """(re, im) index pairs of every complex entry of an iso vector with
+    [ncols, (Re, Im), n] layout: ket iso (ncols=1) or operator iso-vec
+    (ncols=n). `dim` is the iso vector length, `n` the Hilbert dim."""
+    ncols = dim // (2 * n)
+    pairs = []
+    for c in range(ncols):
+        base = c * 2 * n
+        for r in range(n):
+            pairs.append((base + r, base + n + r))
+    return np.asarray(pairs)
+
+
 class BoundStateL2Constraint(_ConstraintBase):
-    """Per complex component Re^2 + Im^2 <= 1 with per-knot slacks
+    """Per complex component Re^2 + Im^2 <= value with per-knot slacks
     (reference: constraints.jl:380). `pairs` is [(re_idx, im_idx), ...]."""
 
-    def __init__(self, state_name: str, pairs, slack_name=None):
+    value = 1.0
+
+    def __init__(self, state_name: str, pairs, slack_name=None, value=1.0):
         self.state_name = state_name
         self.pairs = np.asarray(pairs)
         self.slack_name = slack_name or f"_l2_slack_{state_name}"
+        self.value = float(value)
 
     def setup(self, traj):
         x = traj[self.state_name]
         re = x[:, self.pairs[:, 0]]
         im = x[:, self.pairs[:, 1]]
-        s0 = jnp.clip(1.0 - (re ** 2 + im ** 2), 1e-4, None)
+        s0 = jnp.clip(self.value - (re ** 2 + im ** 2), 1e-4, None)
         d = self.pairs.shape[0]
         bound = np.stack([np.zeros(d), np.full(d, np.inf)], -1)
         return traj.add_component(self.slack_name, s0, bound=bound)
@@ -224,6 +300,18 @@ class BoundStateL2Constraint(_ConstraintBase):
             x = get(self.state_name)
             re = x[self.pairs[:, 0]]
             im = x[self.pairs[:, 1]]
-            return 1.0 - (re ** 2 + im ** 2) - get(self.slack_name)
+            return self.value - (re ** 2 + im ** 2) - get(self.slack_name)
 
         return [EqRowGroup(d, mask, fn)]
+
+
+class ComplexModulusConstraint(BoundStateL2Constraint):
+    """|u_I + i u_Q| <= r per knot for I/Q drive pairs — the reference's
+    complex-control-norm constraint (reference: PiccoloOptions
+    complex_control_norm_constraint, options.jl:88-121). `pairs` are
+    (I, Q) column index pairs WITHIN the named control component."""
+
+    def __init__(self, name: str, pairs, r: float, slack_name=None):
+        super().__init__(name, pairs,
+                         slack_name or f"_cnorm_slack_{name}",
+                         value=float(r) ** 2)

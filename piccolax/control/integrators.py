@@ -29,7 +29,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.expm import expm_pade_fixed
+from ..ops.expm import TAYLOR_THETA, expm_fixed
 from ..quantum import isomorphisms as iso
 
 __all__ = [
@@ -39,14 +39,17 @@ __all__ = [
     "VariationalUnitaryIntegrator",
     "VariationalKetIntegrator",
     "DerivativeIntegrator",
+    "TimeConsistencyIntegrator",
     "TimeStepsEqualIntegrator",
     "choose_squarings",
 ]
 
 
-def choose_squarings(max_norm: float, order: int = 7) -> int:
-    """Static squaring count so ||A||/2^s is inside the Pade radius."""
-    radius = {3: 0.02, 5: 0.25, 7: 0.95, 9: 2.1}[order]
+def choose_squarings(max_norm: float, order="taylor") -> int:
+    """Static squaring count so ||A||/2^s is inside the approximant's
+    accuracy radius (Taylor: ops/expm.py TAYLOR_THETA)."""
+    radius = TAYLOR_THETA if order == "taylor" \
+        else {3: 0.02, 5: 0.25, 7: 0.95, 9: 2.1}[order]
     if max_norm <= radius:
         return 0
     return max(0, math.ceil(math.log2(max_norm / radius)))
@@ -86,7 +89,7 @@ class BilinearUnitaryIntegrator(_IntegratorBase):
     """
 
     def __init__(self, state_name: str, drive_name: str, levels: int,
-                 order: int = 7, squarings: int = 2, system_fn=None,
+                 order="taylor", squarings: int = 2, system_fn=None,
                  time_name: str = "dt", time_dependent: bool = False):
         self.state_name = state_name
         self.drive_name = drive_name
@@ -103,9 +106,12 @@ class BilinearUnitaryIntegrator(_IntegratorBase):
         system = self.system_fn(params)
         u = get(self.drive_name)
         dt = get(self.time_name)[0]
-        t = get("t")[0] if self.time_dependent else 0.0
-        Phi = expm_pade_fixed(dt * system.G(u, t), order=self.order,
-                              squarings=self.squarings)   # real [2n, 2n]
+        # midpoint rule for the time modulation: u is ZOH on [t_k, t_k+dt]
+        # but b(t) varies continuously, and the midpoint sample makes the
+        # step 2nd-order in dt against the Magnus verification rollout
+        t = get("t")[0] + 0.5 * dt if self.time_dependent else 0.0
+        Phi = expm_fixed(dt * system.G(u, t), self.order,
+                         self.squarings)   # real [2n, 2n]
         n = self.levels
         X_k = _isovec_to_isocols(get(self.state_name), n, 0)
         X_next = _isovec_to_isocols(getp(self.state_name), n, 0)
@@ -119,7 +125,7 @@ class BilinearKetIntegrator(_IntegratorBase):
     reference: control/integrators.jl:96-138)."""
 
     def __init__(self, state_names, drive_name: str, levels: int,
-                 order: int = 7, squarings: int = 2, system_fn=None,
+                 order="taylor", squarings: int = 2, system_fn=None,
                  time_name: str = "dt", time_dependent: bool = False):
         self.state_names = tuple(np.atleast_1d(state_names).tolist()) \
             if isinstance(state_names, (list, tuple, np.ndarray)) \
@@ -137,9 +143,9 @@ class BilinearKetIntegrator(_IntegratorBase):
         system = self.system_fn(params)
         u = get(self.drive_name)
         dt = get(self.time_name)[0]
-        t = get("t")[0] if self.time_dependent else 0.0
-        Phi = expm_pade_fixed(dt * system.G(u, t), order=self.order,
-                              squarings=self.squarings)   # real [2n, 2n]
+        t = get("t")[0] + 0.5 * dt if self.time_dependent else 0.0
+        Phi = expm_fixed(dt * system.G(u, t), self.order,
+                         self.squarings)   # real [2n, 2n]
         outs = []
         for nm in self.state_names:
             outs.append(getp(nm) - Phi @ get(nm))   # ket iso = [Re; Im]
@@ -152,8 +158,8 @@ class BilinearDensityIntegrator(_IntegratorBase):
     Lindbladian (reference: control/integrators.jl:76-89)."""
 
     def __init__(self, state_names, drive_name: str, levels: int,
-                 order: int = 7, squarings: int = 2, system_fn=None,
-                 time_name: str = "dt"):
+                 order="taylor", squarings: int = 2, system_fn=None,
+                 time_name: str = "dt", time_dependent: bool = False):
         self.state_names = (state_names,) if isinstance(state_names, str) \
             else tuple(state_names)
         self.drive_name = drive_name
@@ -162,14 +168,16 @@ class BilinearDensityIntegrator(_IntegratorBase):
         self.squarings = squarings
         self.levels = levels
         self.dim = levels * levels * len(self.state_names)
+        self.time_dependent = time_dependent
         self.system_fn = system_fn or (lambda p: p["system"])
 
     def residual(self, k, get, getp, g, params):
         system = self.system_fn(params)
         u = get(self.drive_name)
         dt = get(self.time_name)[0]
-        A = system.compact_lindbladian(u)
-        Phi = expm_pade_fixed(dt * A, order=self.order,
+        t = get("t")[0] + 0.5 * dt if self.time_dependent else 0.0
+        A = system.compact_lindbladian(u, t)
+        Phi = expm_fixed(dt * A, order=self.order,
                               squarings=self.squarings)
         outs = []
         for nm in self.state_names:
@@ -186,7 +194,7 @@ class VariationalUnitaryIntegrator(_IntegratorBase):
     """
 
     def __init__(self, state_name: str, drive_name: str, levels: int,
-                 n_vars: int, order: int = 7, squarings: int = 2,
+                 n_vars: int, order="taylor", squarings: int = 2,
                  system_fn=None, time_name: str = "dt"):
         self.state_name = state_name
         self.drive_name = drive_name
@@ -203,7 +211,7 @@ class VariationalUnitaryIntegrator(_IntegratorBase):
         u = get(self.drive_name)
         dt = get(self.time_name)[0]
         Gv = system.var_G(u)                     # [(v+1) 2n, (v+1) 2n] real
-        Phi = expm_pade_fixed(dt * Gv, order=self.order,
+        Phi = expm_fixed(dt * Gv, order=self.order,
                               squarings=self.squarings + 1)
         n = self.levels
         # state: (v+1) stacked operator iso-vecs -> stacked iso column
@@ -231,7 +239,7 @@ class VariationalKetIntegrator(_IntegratorBase):
     """Variational ket propagation (reference: control/integrators.jl:187)."""
 
     def __init__(self, state_name: str, drive_name: str, levels: int,
-                 n_vars: int, order: int = 7, squarings: int = 2,
+                 n_vars: int, order="taylor", squarings: int = 2,
                  system_fn=None, time_name: str = "dt"):
         self.state_name = state_name
         self.drive_name = drive_name
@@ -248,7 +256,7 @@ class VariationalKetIntegrator(_IntegratorBase):
         u = get(self.drive_name)
         dt = get(self.time_name)[0]
         Gv = system.var_G(u)
-        Phi = expm_pade_fixed(dt * Gv, order=self.order,
+        Phi = expm_fixed(dt * Gv, order=self.order,
                               squarings=self.squarings + 1)
         # state: stacked ket isos [ (v+1) * 2n ] with block structure
         # [Re psi; Im psi] per block -> reorder to match var_G's
@@ -272,6 +280,21 @@ class DerivativeIntegrator(_IntegratorBase):
     def residual(self, k, get, getp, g, params):
         dt = get(self.time_name)[0]
         return getp(self.name) - get(self.name) - dt * get(self.dname)
+
+
+class TimeConsistencyIntegrator(_IntegratorBase):
+    """t_{k+1} - t_k - dt_k = 0: makes the accumulated-time component a
+    consistent decision variable when dt is free (reference: DTO's
+    TimeConsistencyConstraint, auto-applied when :t and :Δt are present —
+    smooth_pulse_problem.jl:277)."""
+
+    def __init__(self, time_name: str = "dt", t_name: str = "t"):
+        self.time_name = time_name
+        self.t_name = t_name
+        self.dim = 1
+
+    def residual(self, k, get, getp, g, params):
+        return getp(self.t_name) - get(self.t_name) - get(self.time_name)
 
 
 class TimeStepsEqualIntegrator(_IntegratorBase):

@@ -32,6 +32,7 @@ __all__ = [
     "MinimumTimeObjective",
     "LeakageObjective",
     "UnitarySensitivityObjective",
+    "KetSensitivityObjective",
     "GlobalRegularizer",
 ]
 
@@ -50,16 +51,22 @@ class UnitaryInfidelityObjective(_ObjectiveBase):
     is embedded (reference: objectives.jl:323). Goal arrives as an
     operator iso-vec."""
 
-    def __init__(self, state_name: str, Q: float = 100.0, subspace=None):
+    def __init__(self, state_name: str, Q: float = 100.0, subspace=None,
+                 base_dim=None):
         self.state_name = state_name
         self.Q = Q
         self.subspace = None if subspace is None else np.asarray(subspace)
+        # for variational states [base; sens_1; ...]: fidelity reads only
+        # the leading base block of `base_dim` components
+        self.base_dim = base_dim
 
     def _sub_idx(self, x):
         n = int(round(np.sqrt(x.shape[-1] // 2)))
         return iso.operator_subspace_iso_indices(n, self.subspace)
 
     def fidelity(self, x, params):
+        if self.base_dim is not None:
+            x = x[: self.base_dim]
         goal = params["goal"][self.state_name]     # iso-vec [2n^2]
         if self.subspace is not None:
             idx = self._sub_idx(x)
@@ -106,13 +113,16 @@ class UnitaryFreePhaseInfidelityObjective(UnitaryInfidelityObjective):
 class KetInfidelityObjective(_ObjectiveBase):
     """Q * (1 - |<psi|goal>|^2) (reference: objectives.jl:34)."""
 
-    def __init__(self, state_name: str, Q: float = 100.0):
+    def __init__(self, state_name: str, Q: float = 100.0, base_dim=None):
         self.state_name = state_name
         self.Q = Q
+        self.base_dim = base_dim          # variational: leading base block
 
     def stage_cost(self, k, get, g, params, N):
-        F = dyn.fidelity_iso_bounded(get(self.state_name),
-                                     params["goal"][self.state_name])
+        x = get(self.state_name)
+        if self.base_dim is not None:
+            x = x[: self.base_dim]
+        F = dyn.fidelity_iso_bounded(x, params["goal"][self.state_name])
         return _terminal(k, N, self.Q * (1.0 - F))
 
 
@@ -241,6 +251,8 @@ class UnitarySensitivityObjective(_ObjectiveBase):
     (reference: objectives.jl:457). State layout: [base; sens_1; ...]
     stacked operator iso-vecs."""
 
+    block = "operator"
+
     def __init__(self, state_name: str, levels: int, n_vars: int,
                  Q: float = 1.0):
         self.state_name = state_name
@@ -250,8 +262,15 @@ class UnitarySensitivityObjective(_ObjectiveBase):
 
     def stage_cost(self, k, get, g, params, N):
         x = get(self.state_name)
-        n2 = 2 * self.levels * self.levels
+        n2 = 2 * self.levels * self.levels if self.block == "operator" \
+            else 2 * self.levels
         val = 0.0
         for i in range(1, self.n_vars + 1):
             val = val + jnp.sum(x[i * n2:(i + 1) * n2] ** 2)
         return _terminal(k, N, self.Q * val)
+
+
+class KetSensitivityObjective(UnitarySensitivityObjective):
+    """Ket variant: sensitivity blocks are ket isos of dim 2n."""
+
+    block = "ket"

@@ -413,6 +413,16 @@ class QuantumControlProblem:
         return self.qtraj.pulse
 
     def fidelity(self, **kw):
+        """Rollout fidelity; free-phase problems automatically evaluate at
+        the optimized phase globals (reference: free-phase fidelity,
+        rollouts_extensions.jl:892-931)."""
+        pg = getattr(self, "_phase_global", None)
+        if pg is not None and "phases" not in kw:
+            name, n_qubits = pg
+            kw["phases"] = np.asarray(self.traj.global_data[name])
+            from ..quantum.trajectories import UnitaryTrajectory
+            if isinstance(self.qtraj, UnitaryTrajectory):
+                kw.setdefault("n_qubits", n_qubits)
         return self.qtraj.fidelity(**kw)
 
     @property

@@ -37,14 +37,47 @@ __all__ = [
 
 
 def _state_pieces(qtraj, drive_name, pade_order, squarings, Q,
-                  system_fn=None, suffix_states=None):
+                  system_fn=None, suffix_states=None,
+                  sensitivity_cost: float = 1.0):
     """(integrators, objectives) for the state dynamics of a qtraj type."""
     levels = qtraj.system.levels
+    # Modulated systems sample b(t) at the interval midpoint in the
+    # collocation step (reference: control/integrators.jl:34,57 —
+    # TimeDependentBilinearIntegrator when modulation is present).
+    tdep = bool(getattr(qtraj.system, "time_dependent", False))
+    # Variational systems propagate stacked [base; sensitivities] states
+    # with the block-triangular var_G generator and add a terminal
+    # sensitivity-norm objective (reference: integrators.jl:187-218,
+    # objectives.jl:457).
+    n_vars = int(getattr(qtraj.system, "n_vars", 0) or 0)
+    if n_vars and isinstance(qtraj, UnitaryTrajectory):
+        return (
+            [intg.VariationalUnitaryIntegrator(
+                suffix_states or "U", drive_name, levels, n_vars,
+                order=pade_order, squarings=squarings, system_fn=system_fn)],
+            [obj.UnitaryInfidelityObjective(
+                suffix_states or "U", Q=Q, subspace=qtraj.subspace,
+                base_dim=2 * levels * levels),
+             obj.UnitarySensitivityObjective(
+                suffix_states or "U", levels, n_vars, Q=sensitivity_cost)],
+        )
+    if n_vars and isinstance(qtraj, KetTrajectory):
+        n2 = 2 * levels
+        return (
+            [intg.VariationalKetIntegrator(
+                suffix_states or "psi", drive_name, levels, n_vars,
+                order=pade_order, squarings=squarings, system_fn=system_fn)],
+            [obj.KetInfidelityObjective(
+                suffix_states or "psi", Q=Q, base_dim=n2),
+             obj.KetSensitivityObjective(
+                suffix_states or "psi", levels, n_vars, Q=sensitivity_cost)],
+        )
     if isinstance(qtraj, UnitaryTrajectory):
         return (
             [intg.BilinearUnitaryIntegrator(
                 suffix_states or "U", drive_name, levels,
-                order=pade_order, squarings=squarings, system_fn=system_fn)],
+                order=pade_order, squarings=squarings, system_fn=system_fn,
+                time_dependent=tdep)],
             [obj.UnitaryInfidelityObjective(
                 suffix_states or "U", Q=Q, subspace=qtraj.subspace)],
         )
@@ -52,7 +85,8 @@ def _state_pieces(qtraj, drive_name, pade_order, squarings, Q,
         return (
             [intg.BilinearKetIntegrator(
                 (suffix_states or "psi",), drive_name, levels,
-                order=pade_order, squarings=squarings, system_fn=system_fn)],
+                order=pade_order, squarings=squarings, system_fn=system_fn,
+                time_dependent=tdep)],
             [obj.KetInfidelityObjective(suffix_states or "psi", Q=Q)],
         )
     if isinstance(qtraj, MultiKetTrajectory):
@@ -60,14 +94,16 @@ def _state_pieces(qtraj, drive_name, pade_order, squarings, Q,
         return (
             [intg.BilinearKetIntegrator(
                 names, drive_name, levels, order=pade_order,
-                squarings=squarings, system_fn=system_fn)],
+                squarings=squarings, system_fn=system_fn,
+                time_dependent=tdep)],
             [obj.CoherentKetInfidelityObjective(names, Q=Q)],
         )
     if isinstance(qtraj, DensityTrajectory):
         return (
             [intg.BilinearDensityIntegrator(
                 (suffix_states or "rho",), drive_name, levels,
-                order=pade_order, squarings=squarings, system_fn=system_fn)],
+                order=pade_order, squarings=squarings, system_fn=system_fn,
+                time_dependent=tdep)],
             [obj.DensityInfidelityObjective(suffix_states or "rho", Q=Q)],
         )
     if isinstance(qtraj, MultiDensityTrajectory):
@@ -76,7 +112,8 @@ def _state_pieces(qtraj, drive_name, pade_order, squarings, Q,
         return (
             [intg.BilinearDensityIntegrator(
                 names, drive_name, levels, order=pade_order,
-                squarings=squarings, system_fn=system_fn)],
+                squarings=squarings, system_fn=system_fn,
+                time_dependent=tdep)],
             [obj.DensityInfidelityObjective(nm, Q=Q * float(w[i]))
              for i, nm in enumerate(names)],
         )
@@ -102,10 +139,147 @@ def _sampling_pieces(qtraj: SamplingTrajectory, drive_name, pade_order,
     return integrators, objectives
 
 
+def _opt(explicit, options, field, default):
+    """Three-tier resolution: explicit template kwarg > PiccoloOptions
+    field > built-in default (reference: apply_piccolo_options!,
+    _problem_templates.jl:135-234)."""
+    if explicit is not None:
+        return explicit
+    if options is not None:
+        return getattr(options, field)
+    return default
+
+
+def _options_leakage_indices(qtraj, options, leakage_indices,
+                             leakage_cost, leakage_value):
+    """Auto-derive leakage iso indices from an embedded goal when a
+    leakage option is active but no indices were given."""
+    if leakage_indices is not None:
+        return leakage_indices
+    if not (leakage_cost or leakage_value is not None):
+        return None
+    if getattr(qtraj, "subspace", None) is None:
+        return None
+    from ..quantum.operators import get_iso_vec_leakage_indices
+    return get_iso_vec_leakage_indices(qtraj.subspace, qtraj.system.levels)
+
+
+def _options_constraints(qtraj, options):
+    """Extra constraints demanded by a PiccoloOptions record: the state
+    L2 ball and the complex-control-norm ball."""
+    if options is None:
+        return []
+    extra = []
+    if options.bound_state_l2:
+        n = qtraj.system.levels
+        from ..quantum.trajectories import (DensityTrajectory,
+                                            MultiDensityTrajectory,
+                                            MultiKetTrajectory)
+        if isinstance(qtraj, (DensityTrajectory, MultiDensityTrajectory)):
+            raise ValueError("bound_state_l2 applies to ket/unitary states")
+        if isinstance(qtraj, MultiKetTrajectory):
+            names, dim = qtraj.state_names(), 2 * n
+        elif qtraj.state_name == "psi":
+            names, dim = [qtraj.state_name], 2 * n
+        else:
+            names, dim = [qtraj.state_name], 2 * n * n
+        for nm in names:
+            extra.append(cons.BoundStateL2Constraint(
+                nm, cons.iso_entry_pairs(dim, n)))
+    if options.complex_control_norm_constraint is not None:
+        nd = qtraj.system.n_drives
+        if nd % 2:
+            raise ValueError(
+                "complex_control_norm_constraint needs I/Q drive pairs "
+                f"(even n_drives); got {nd}")
+        pairs = [(2 * i, 2 * i + 1) for i in range(nd // 2)]
+        extra.append(cons.ComplexModulusConstraint(
+            qtraj.drive_name, pairs,
+            options.complex_control_norm_constraint))
+    return extra
+
+
+def _maybe_display(prob, options):
+    """Construction-time display tiers (reference: PiccoloOptions.display,
+    options.jl:16-50): compact = one line (no NLP build), standard/
+    detailed = full inspection tree."""
+    if options is None or options.display == "silent":
+        return prob
+    if options.display == "compact":
+        t = prob.traj
+        print(f"[piccolax] {type(prob.qtraj).__name__}: N={t.N}, "
+              f"components={dict(t.dims)}, "
+              f"objectives={len(prob.objectives)}, "
+              f"integrators={len(prob.integrators)}, "
+              f"constraints={len(prob.constraints)}")
+        return prob
+    from .display import show_problem
+    show_problem(prob)
+    return prob
+
+
+def _global_slice(traj, name):
+    """Column slice of `name` in the global vector. Safe to bake at
+    template time: constraint setup() only APPENDS globals (slacks), so
+    earlier slices never shift."""
+    off = 0
+    for n in traj.global_names:
+        d = traj.global_data[n].shape[0]
+        if n == name:
+            return slice(off, off + d)
+        off += d
+    raise KeyError(name)
+
+
+def _apply_free_phase(qtraj, traj, objectives, free_phase, phase_name, Q):
+    """Add per-qubit free Z-phase globals and swap the terminal infidelity
+    objective for its free-phase variant (reference:
+    setup_free_phase_globals! + _make_free_phase_goal,
+    _problem_templates.jl:253,298)."""
+    if free_phase is True:
+        if isinstance(qtraj, UnitaryTrajectory) and qtraj.subspace is not None:
+            dim = len(qtraj.subspace)
+        elif isinstance(qtraj, MultiKetTrajectory):
+            dim = int(np.asarray(qtraj.goals).shape[-1])
+        else:
+            dim = qtraj.system.levels
+        n_qubits = max(1, int(round(np.log2(dim))))
+    else:
+        n_qubits = int(free_phase)
+    gd = dict(traj.global_data)
+    gd[phase_name] = jnp.zeros(n_qubits)
+    traj = traj.replace(global_data=gd)
+    sl = _global_slice(traj, phase_name)
+
+    def gview(g, sl=sl):
+        return g[sl]
+
+    new_objs = []
+    for o in objectives:
+        if (isinstance(o, obj.UnitaryInfidelityObjective)
+                and not isinstance(o, obj.UnitaryFreePhaseInfidelityObjective)):
+            new_objs.append(obj.UnitaryFreePhaseInfidelityObjective(
+                o.state_name, phase_name, n_qubits, Q=o.Q,
+                subspace=qtraj.subspace
+                if isinstance(qtraj, UnitaryTrajectory) else None,
+                gview=gview))
+        elif (isinstance(o, obj.CoherentKetInfidelityObjective)
+              and not isinstance(o,
+                                 obj.CoherentKetFreePhaseInfidelityObjective)):
+            new_objs.append(obj.CoherentKetFreePhaseInfidelityObjective(
+                o.state_names, n_qubits, Q=o.Q, gview=gview))
+        else:
+            new_objs.append(o)
+    return traj, new_objs, (phase_name, n_qubits)
+
+
 def _common_problem(qtraj, traj, drive_name, Q, R_u, R_du, R_ddu,
                     pade_order, derivative_order, dt_free,
                     timesteps_all_equal, extra_objectives, extra_constraints,
-                    leakage_indices, leakage_cost, leakage_value):
+                    leakage_indices, leakage_cost, leakage_value,
+                    free_phase=False, phase_name="theta",
+                    global_bounds=None, calibration_targets=None,
+                    sensitivity_cost: float = 1.0):
     norm_bound = intg._bound_dt_G_norm(qtraj.system, traj)
     if norm_bound > 1.5:
         import warnings
@@ -122,8 +296,17 @@ def _common_problem(qtraj, traj, drive_name, Q, R_u, R_du, R_ddu,
         params = {"systems": tuple(qtraj.systems)}
     else:
         integrators, objectives = _state_pieces(
-            qtraj, drive_name, pade_order, squarings, Q)
+            qtraj, drive_name, pade_order, squarings, Q,
+            sensitivity_cost=sensitivity_cost)
         params = None
+
+    phase_info = None
+    if free_phase:
+        traj, objectives, phase_info = _apply_free_phase(
+            qtraj, traj, objectives, free_phase, phase_name, Q)
+    if global_bounds:
+        for nm, b in dict(global_bounds).items():
+            traj = traj.update_bound(nm, b)
 
     # chained derivative integrators u -> du -> ddu
     d = traj.dims[drive_name]
@@ -135,6 +318,10 @@ def _common_problem(qtraj, traj, drive_name, Q, R_u, R_du, R_ddu,
 
     if dt_free and timesteps_all_equal:
         integrators.append(intg.TimeStepsEqualIntegrator("dt"))
+    if dt_free and getattr(qtraj.system, "time_dependent", False):
+        # "t" is a decision variable only in this case (see discretize);
+        # tie it to dt (reference: smooth_pulse_problem.jl:277).
+        integrators.append(intg.TimeConsistencyIntegrator("dt", "t"))
 
     Rs = [R_u, R_du, R_ddu]
     for i, nm in enumerate(names):
@@ -142,6 +329,9 @@ def _common_problem(qtraj, traj, drive_name, Q, R_u, R_du, R_ddu,
             objectives.append(obj.QuadraticRegularizer(nm, Rs[i]))
 
     constraints = list(extra_constraints)
+    if calibration_targets:
+        for nm, val in dict(calibration_targets).items():
+            constraints.append(cons.GlobalPinConstraint(nm, val))
     if leakage_indices is not None:
         snames = (qtraj.state_names()
                   if isinstance(qtraj, (MultiKetTrajectory,
@@ -156,44 +346,84 @@ def _common_problem(qtraj, traj, drive_name, Q, R_u, R_du, R_ddu,
                     nm, leakage_indices, leakage_value))
 
     objectives.extend(extra_objectives)
-    return QuantumControlProblem(qtraj, traj, objectives, integrators,
+    prob = QuantumControlProblem(qtraj, traj, objectives, integrators,
                                  constraints, params=params)
+    if phase_info is not None:
+        prob._phase_global = phase_info
+    return prob
 
 
 def SmoothPulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
                        R_u=None, R_du=None, R_ddu=None,
                        du_bound: float = 1.0, ddu_bound: float = 1.0,
-                       dt_bounds=None, timesteps_all_equal: bool = True,
-                       zero_initial_and_final_derivative: bool = False,
-                       state_bound=1.0, pade_order: int = 7,
-                       leakage_indices=None, leakage_cost: float = 0.0,
+                       dt_bounds=None, timesteps_all_equal=None,
+                       zero_initial_and_final_derivative=None,
+                       state_bound="box", pade_order="taylor",
+                       leakage_indices=None, leakage_cost=None,
                        leakage_value=None,
+                       free_phase=False, phase_name: str = "theta",
+                       global_bounds=None, calibration_targets=None,
+                       sensitivity_cost: float = 1.0,
+                       options=None,
                        extra_objectives=(), extra_constraints=()):
     """Canonical ZOH-pulse collocation problem with smoothness via chained
     derivative variables du, ddu (reference: smooth_pulse_problem.jl:120-298).
+
+    free_phase: True (infer qubit count from the goal/subspace dims) or an
+    int qubit count — optimize per-qubit Z phases on the goal as trajectory
+    globals (reference: _problem_templates.jl:253,298).
+    global_bounds: {global_name: (lo, hi)} box bounds on globals
+    (reference: add_global_bounds_constraints!, :336).
+    calibration_targets: {global_name: value} equality pins
+    (reference: apply_calibration_targets!, :393).
+    options: a PiccoloOptions record supplying the tier-2 defaults for
+    the flags above (reference: options.jl:88-121); explicit kwargs win.
     """
+    timesteps_all_equal = _opt(timesteps_all_equal, options,
+                               "timesteps_all_equal", True)
+    zero_d = _opt(zero_initial_and_final_derivative, options,
+                  "zero_initial_and_final_derivative", False)
+    if state_bound == "box":
+        state_bound = 1.0 if options is None or options.bound_state is None \
+            else options.bound_state
+        if options is not None and options.bound_state_l2:
+            state_bound = None          # the L2 ball replaces the box
+    leakage_cost = _opt(leakage_cost, options, "leakage_cost", 0.0)
+    leakage_value = _opt(leakage_value, options,
+                         "leakage_constraint_value", None)
+    leakage_indices = _options_leakage_indices(
+        qtraj, options, leakage_indices, leakage_cost, leakage_value)
+    extra_constraints = list(extra_constraints) \
+        + _options_constraints(qtraj, options)
+
     traj = discretize(qtraj, N, dt_bounds=dt_bounds, state_bound=state_bound)
     dname = qtraj.drive_name
     traj = traj.add_control_derivatives(
         2, name=dname, bounds=[du_bound, ddu_bound],
-        zero_initial=zero_initial_and_final_derivative,
-        zero_final=zero_initial_and_final_derivative)
+        zero_initial=zero_d, zero_final=zero_d)
     R_u = R if R_u is None else R_u
     R_du = R if R_du is None else R_du
     R_ddu = R if R_ddu is None else R_ddu
-    return _common_problem(
+    prob = _common_problem(
         qtraj, traj, dname, Q, R_u, R_du, R_ddu, pade_order, 2,
         dt_bounds is not None, timesteps_all_equal,
-        list(extra_objectives), list(extra_constraints),
-        leakage_indices, leakage_cost, leakage_value)
+        list(extra_objectives), extra_constraints,
+        leakage_indices, leakage_cost, leakage_value,
+        free_phase=free_phase, phase_name=phase_name,
+        global_bounds=global_bounds, calibration_targets=calibration_targets,
+        sensitivity_cost=sensitivity_cost)
+    return _maybe_display(prob, options)
 
 
 def SplinePulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
                        R_u=None, R_du=None, du_bound: float = 1.0,
-                       dt_bounds=None, timesteps_all_equal: bool = True,
-                       state_bound=1.0, pade_order: int = 7,
-                       leakage_indices=None, leakage_cost: float = 0.0,
+                       dt_bounds=None, timesteps_all_equal=None,
+                       state_bound="box", pade_order="taylor",
+                       leakage_indices=None, leakage_cost=None,
                        leakage_value=None,
+                       free_phase=False, phase_name: str = "theta",
+                       global_bounds=None, calibration_targets=None,
+                       options=None,
                        extra_objectives=(), extra_constraints=()):
     """Spline-pulse problem (reference: spline_pulse_problem.jl:128).
 
@@ -201,6 +431,20 @@ def SplinePulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
     Cubic splines: du is the free Hermite tangent DOF (no derivative
     constraint; regularization defaults to 0 — reference :9-127).
     """
+    timesteps_all_equal = _opt(timesteps_all_equal, options,
+                               "timesteps_all_equal", True)
+    if state_bound == "box":
+        state_bound = 1.0 if options is None or options.bound_state is None \
+            else options.bound_state
+        if options is not None and options.bound_state_l2:
+            state_bound = None
+    leakage_cost = _opt(leakage_cost, options, "leakage_cost", 0.0)
+    leakage_value = _opt(leakage_value, options,
+                         "leakage_constraint_value", None)
+    leakage_indices = _options_leakage_indices(
+        qtraj, options, leakage_indices, leakage_cost, leakage_value)
+    extra_constraints = tuple(extra_constraints) \
+        + tuple(_options_constraints(qtraj, options))
     pulse = qtraj.pulse
     traj = discretize(qtraj, N, dt_bounds=dt_bounds, state_bound=state_bound)
     dname = qtraj.drive_name
@@ -224,16 +468,29 @@ def SplinePulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
         integrators, objectives = _state_pieces(
             qtraj, dname, pade_order, squarings, Q)
         params = None
+    phase_info = None
+    if free_phase:
+        traj, objectives, phase_info = _apply_free_phase(
+            qtraj, traj, objectives, free_phase, phase_name, Q)
+    if global_bounds:
+        for nm, b in dict(global_bounds).items():
+            traj = traj.update_bound(nm, b)
     d = traj.dims[dname]
     if not is_cubic:
         integrators.append(intg.DerivativeIntegrator(dname, "d" + dname, d))
     if dt_bounds is not None and timesteps_all_equal:
         integrators.append(intg.TimeStepsEqualIntegrator("dt"))
+    if dt_bounds is not None and getattr(qtraj.system, "time_dependent",
+                                         False):
+        integrators.append(intg.TimeConsistencyIntegrator("dt", "t"))
     if R_u:
         objectives.append(obj.QuadraticRegularizer(dname, R_u))
     if R_du:
         objectives.append(obj.QuadraticRegularizer("d" + dname, R_du))
     constraints = list(extra_constraints)
+    if calibration_targets:
+        for nm, val in dict(calibration_targets).items():
+            constraints.append(cons.GlobalPinConstraint(nm, val))
     if leakage_indices is not None:
         if leakage_cost:
             objectives.append(obj.LeakageObjective(
@@ -242,14 +499,17 @@ def SplinePulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
             constraints.append(cons.LeakageConstraint(
                 qtraj.state_name, leakage_indices, leakage_value))
     objectives.extend(extra_objectives)
-    return QuantumControlProblem(qtraj, traj, objectives, integrators,
+    prob = QuantumControlProblem(qtraj, traj, objectives, integrators,
                                  constraints, params=params)
+    if phase_info is not None:
+        prob._phase_global = phase_info
+    return _maybe_display(prob, options)
 
 
 def BangBangPulseProblem(qtraj, N=None, *, Q: float = 100.0,
                          R: float = 1e-2, R_bang: float = 1.0,
                          du_bound: float = 1.0, dt_bounds=None,
-                         state_bound=1.0, pade_order: int = 7,
+                         state_bound=1.0, pade_order="taylor",
                          extra_objectives=(), extra_constraints=()):
     """L1 penalty on du via exact slack reformulation to promote few-switch
     bang-bang pulses (reference: bang_bang_pulse_problem.jl:147-424)."""
@@ -288,9 +548,15 @@ def MinimumTimeProblem(qcp: QuantumControlProblem, *,
 
     from ..quantum.trajectories import (MultiKetTrajectory,
                                         UnitaryTrajectory)
+    phase_info = getattr(qcp, "_phase_global", None)
     if isinstance(qtraj, UnitaryTrajectory):
-        fid_con = cons.FinalUnitaryFidelityConstraint(
-            "U", final_fidelity, subspace=qtraj.subspace)
+        if phase_info is not None:
+            fid_con = cons.FinalUnitaryFreePhaseFidelityConstraint(
+                "U", final_fidelity, phase_info[0], phase_info[1],
+                subspace=qtraj.subspace)
+        else:
+            fid_con = cons.FinalUnitaryFidelityConstraint(
+                "U", final_fidelity, subspace=qtraj.subspace)
     elif isinstance(qtraj, MultiKetTrajectory):
         fid_con = cons.FinalCoherentKetFidelityConstraint(
             qtraj.state_names(), final_fidelity)
@@ -303,12 +569,15 @@ def MinimumTimeProblem(qcp: QuantumControlProblem, *,
 
     objectives = list(qcp.objectives) + [obj.MinimumTimeObjective(D)]
     constraints = list(qcp.constraints) + [fid_con]
-    return QuantumControlProblem(qtraj, traj, objectives, qcp.integrators,
-                                 constraints, params=qcp.extra_params)
+    out = QuantumControlProblem(qtraj, traj, objectives, qcp.integrators,
+                                constraints, params=qcp.extra_params)
+    if getattr(qcp, "_phase_global", None) is not None:
+        out._phase_global = qcp._phase_global
+    return out
 
 
 def SamplingProblem(qcp: QuantumControlProblem, systems, weights=None, *,
-                    Q: float = 100.0, pade_order: int = 7):
+                    Q: float = 100.0, pade_order="taylor"):
     """Transform a (solved) problem into a robustness problem over an
     ensemble of systems sharing the controls
     (reference: sampling_problem.jl:130)."""
@@ -357,7 +626,8 @@ def SamplingProblem(qcp: QuantumControlProblem, systems, weights=None, *,
     # carry over derivative integrators (they act on shared controls)
     for it in qcp.integrators:
         if isinstance(it, (intg.DerivativeIntegrator,
-                           intg.TimeStepsEqualIntegrator)):
+                           intg.TimeStepsEqualIntegrator,
+                           intg.TimeConsistencyIntegrator)):
             integrators.append(it)
     params = {"systems": tuple(straj.systems)}
     del times, _disc

@@ -121,10 +121,17 @@ class UnitaryTrajectory(_QuantumTrajectoryBase):
             U_goal_sub = self.goal[sub[:, None], sub[None, :]]
             if phases is not None:
                 diag = dyn.free_phase_diagonal(
-                    jnp.asarray(phases), n_qubits, U_goal_sub.shape[-1])
+                    jnp.asarray(phases), n_qubits or len(phases),
+                    U_goal_sub.shape[-1])
                 U_goal_sub = diag[:, None] * U_goal_sub
             return dyn.pedersen_fidelity(U_sub, U_goal_sub)
-        return dyn.unitary_fidelity(U_final, self.goal)
+        goal = self.goal
+        if phases is not None:
+            diag = dyn.free_phase_diagonal(
+                jnp.asarray(phases), n_qubits or len(phases),
+                goal.shape[-1])
+            goal = diag[:, None] * goal
+        return dyn.unitary_fidelity(U_final, goal)
 
     def rollout(self, pulse=None, n_substeps: int = 1) -> "UnitaryTrajectory":
         """Re-integrate (optionally with a new pulse) -> fresh trajectory."""
@@ -541,9 +548,26 @@ def discretize(qtraj, N_or_times=None, *, dt_bounds=None, state_bound=1.0,
             goal[sname] = giso[i]
     else:
         sname = qtraj.state_name
+        # Variational systems stack [base; sens_1; ...; sens_v] into ONE
+        # state component (reference: integrators.jl:187-218); sensitivity
+        # blocks start at zero (d/d_eps of the initial state is 0) and are
+        # left unbounded (they are not unit-norm objects).
+        n_vars = int(getattr(qtraj.system, "n_vars", 0) or 0)
+        siso = np.asarray(siso)
+        if n_vars:
+            d0 = siso.shape[1]
+            siso = np.concatenate(
+                [siso, np.zeros((N, n_vars * d0))], axis=1)
         data[sname] = siso
         if state_bound is not None:
-            bounds[sname] = state_bound
+            if n_vars:
+                b = np.empty((siso.shape[1], 2))
+                b[:, 0], b[:, 1] = -np.inf, np.inf
+                b[:d0, 0] = -float(state_bound)
+                b[:d0, 1] = float(state_bound)
+                bounds[sname] = b
+            else:
+                bounds[sname] = state_bound
         initial[sname] = siso[0]
         goal[sname] = qtraj.goal_iso()
 
@@ -565,14 +589,25 @@ def discretize(qtraj, N_or_times=None, *, dt_bounds=None, state_bound=1.0,
         data["d" + dname] = dus
         controls = controls + ("d" + dname,)
 
-    # timesteps: free (decision variable with bounds) or frozen constant
+    # timesteps: free (decision variable with bounds) or frozen constant.
+    # The accumulated time "t" is always stored (reference:
+    # named_trajectory_conversion.jl always stores :t); it becomes a
+    # decision variable tied to dt by a TimeConsistencyIntegrator only
+    # when BOTH dt is free AND the system is time-dependent — otherwise
+    # it is frozen data (nothing reads t for autonomous systems).
     data["dt"] = dts[:, None]
+    data["t"] = times[:, None]
     frozen = ()
+    time_dep = bool(getattr(qtraj.system, "time_dependent", False))
     if dt_bounds is not None:
         bounds["dt"] = np.array([[float(dt_bounds[0]), float(dt_bounds[1])]])
         controls = controls + ("dt",)
+        if time_dep:
+            initial["t"] = np.array([times[0]])
+        else:
+            frozen = ("t",)
     else:
-        frozen = ("dt",)
+        frozen = ("dt", "t")
 
     # globals from system
     global_data = dict(qtraj.system.global_params) \

@@ -544,7 +544,16 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
                 Xcols = kkt_apply(aux, Pblk)            # [N, mb, dg]
                 Schur_g = Wg - jnp.einsum("kbg,kbh->gh", Pblk, Xcols)
                 ew, EV = jnp.linalg.eigh(0.5 * (Schur_g + Schur_g.T))
-                aux.update(Xcols=Xcols, ew=jnp.maximum(ew, 1e-10), EV=EV)
+                # Saddle-free treatment of the small global block: |ew|
+                # with a RELATIVE floor. An absolute max(ew, eps) floor
+                # lets an indefinite global objective (e.g. the nonconvex
+                # free-phase landscape) keep a near-zero positive
+                # eigenvalue and take a huge step along negative
+                # curvature, blowing up the phase globals.
+                scale = jnp.maximum(jnp.max(jnp.abs(ew)), 1.0)
+                floor = jnp.sqrt(jnp.finfo(f64).eps) * scale
+                aux.update(Xcols=Xcols,
+                           ew=jnp.maximum(jnp.abs(ew), floor), EV=EV)
             return aux
 
         def kkt_solve(aux, rz, rc, bg):

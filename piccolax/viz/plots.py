@@ -20,6 +20,11 @@ __all__ = [
     "plot_state_populations",
     "plot_bloch_trajectory",
     "plot_wigner",
+    "weyl_coordinates",
+    "plot_weyl_trajectory",
+    "animate_pulse",
+    "animate_populations",
+    "LivePulsePlot",
 ]
 
 
@@ -208,3 +213,175 @@ def plot_wigner(rho, *, xrange=(-4, 4), n_grid: int = 101):
     ax.set_ylabel("p")
     fig.tight_layout()
     return fig
+
+
+def weyl_coordinates(U):
+    """Weyl-chamber coordinates (c1, c2, c3)/pi of a 4x4 two-qubit
+    unitary via the Makhlin local invariants (eigenphases of U Utilde
+    with Utilde = (Y x Y) U^T (Y x Y); reference semantics:
+    weyl_trajectory.jl:2-27)."""
+    from ..quantum.gates import PAULIS
+
+    U = np.asarray(U)
+    if U.shape != (4, 4):
+        raise ValueError(f"expected a 4x4 unitary, got {U.shape}")
+    yy = np.kron(np.asarray(PAULIS["Y"]), np.asarray(PAULIS["Y"]))
+    Ut = yy @ U.T @ yy
+    ev = np.linalg.eigvals(U @ Ut / np.sqrt(complex(np.linalg.det(U))))
+    two_s = np.angle(ev) / np.pi
+    two_s = np.where(two_s <= -0.5, two_s + 2.0, two_s)
+    s = np.sort(two_s / 2.0)[::-1]
+    n = int(round(s.sum()))
+    s = s - np.concatenate([np.ones(n), np.zeros(4 - n)])
+    s = np.roll(s, -n)
+    mix = np.array([[1, 1, 0], [1, 0, 1], [0, 1, 1]], dtype=float)
+    c1, c2, c3 = mix @ s[:3]
+    if c3 < 0:
+        c1, c3 = 1.0 - c1, -c3
+    return np.array([c1, c2, c3])
+
+
+def plot_weyl_trajectory(qtraj_or_Us, ax=None):
+    """Two-qubit gate path through the Weyl chamber
+    (reference: weyl_trajectory.jl:31). Accepts a UnitaryTrajectory or an
+    array of unitaries [T, 4, 4]; draws the chamber edges + the
+    perfect-entangler polytope and the c1c2c3 path."""
+    plt = _mpl()
+    Us = np.asarray(getattr(qtraj_or_Us, "Us", qtraj_or_Us))
+    pts = np.array([weyl_coordinates(U) for U in Us])
+    if ax is None:
+        fig = plt.figure(figsize=(6, 5))
+        ax = fig.add_subplot(projection="3d")
+    else:
+        fig = ax.figure
+    O = np.array([0, 0, 0.0])
+    A1 = np.array([1, 0, 0.0])
+    A2 = np.array([0.5, 0.5, 0.0])
+    A3 = np.array([0.5, 0.5, 0.5])
+    L = np.array([0.5, 0, 0.0])
+    M = np.array([0.75, 0.25, 0.0])
+    Nn = np.array([0.75, 0.25, 0.25])
+    P = np.array([0.25, 0.25, 0.25])
+    Q = np.array([0.25, 0.25, 0.0])
+    for a, b in ((O, A1), (A1, A2), (A2, A3), (A3, A1), (A3, O), (O, A2)):
+        ax.plot(*np.stack([a, b]).T, color="black", lw=1)
+    # perfect-entangler polytope edges
+    for a, b in ((L, M), (L, Q), (Q, P), (P, A2), (L, Nn), (L, P),
+                 (Nn, P), (Nn, A2), (Nn, M)):
+        ax.plot(*np.stack([a, b]).T, color="gray", lw=0.8, linestyle="--")
+    ax.plot(pts[:, 0], pts[:, 1], pts[:, 2], color="tab:red", lw=2)
+    ax.scatter(*pts[0], color="green", s=40)
+    ax.scatter(*pts[-1], color="red", s=40)
+    ax.set_xlabel(r"$c_1/\pi$")
+    ax.set_ylabel(r"$c_2/\pi$")
+    ax.set_zlabel(r"$c_3/\pi$")
+    return fig
+
+
+def animate_pulse(pulses, path=None, *, fps: int = 10, n_samples: int = 200):
+    """Animate a sequence of pulses (e.g. per-iteration snapshots from
+    LivePulsePlot) into a matplotlib FuncAnimation
+    (reference: animations.jl:65-184 / animate_pulse)."""
+    plt = _mpl()
+    from matplotlib.animation import FuncAnimation
+
+    import jax
+
+    frames = []
+    for p in pulses:
+        t, u = _pulse_samples(p, n_samples)
+        frames.append((t, u))
+    fig, ax = plt.subplots(figsize=(8, 3.2))
+    lo = min(u.min() for _, u in frames)
+    hi = max(u.max() for _, u in frames)
+    pad = 0.05 * max(hi - lo, 1e-9)
+    d = frames[0][1].shape[1]
+    lines = [ax.plot([], [], label=f"u{i + 1}")[0] for i in range(d)]
+    ax.set_xlim(0, max(t[-1] for t, _ in frames))
+    ax.set_ylim(lo - pad, hi + pad)
+    ax.set_xlabel("t")
+    ax.legend(fontsize=8)
+
+    def update(i):
+        t, u = frames[i]
+        for j, ln in enumerate(lines):
+            ln.set_data(t, u[:, j])
+        ax.set_title(f"iteration {i}")
+        return lines
+
+    anim = FuncAnimation(fig, update, frames=len(frames),
+                         interval=1000 // fps, blit=False)
+    if path is not None:
+        anim.save(path, writer="pillow", fps=fps)
+    return anim
+
+
+def animate_populations(qtraj, path=None, *, fps: int = 20):
+    """Animate unitary column populations over time
+    (reference: animations.jl animate_name)."""
+    plt = _mpl()
+    from matplotlib.animation import FuncAnimation
+
+    times = np.asarray(qtraj.times)
+    Us = np.asarray(qtraj.Us)
+    n = Us.shape[-1]
+    pops = np.abs(Us[:, :, 0]) ** 2           # first-column populations
+    fig, ax = plt.subplots(figsize=(6, 3.2))
+    bars = ax.bar(range(n), pops[0])
+    ax.set_ylim(0, 1.05)
+    ax.set_xlabel("level")
+    ax.set_ylabel("population")
+
+    def update(i):
+        for b, h in zip(bars, pops[i]):
+            b.set_height(h)
+        ax.set_title(f"t = {times[i]:.2f}")
+        return bars
+
+    anim = FuncAnimation(fig, update, frames=len(times),
+                         interval=1000 // fps, blit=False)
+    if path is not None:
+        anim.save(path, writer="pillow", fps=fps)
+    return anim
+
+
+class LivePulsePlot:
+    """Per-iteration live pulse hook for QuantumControlProblem.solve
+    (reference: LivePulsePlotCallback, live_callbacks.jl:6-47 +
+    PiccoloMakieExt.jl:469-477).
+
+    Usage:
+        live = LivePulsePlot(times, snapshot_dir="snaps")   # or dir=None
+        prob.solve(callback=live, callback_every=5)
+        live.animate("pulses.gif")                          # afterwards
+    """
+
+    def __init__(self, times, snapshot_dir=None):
+        self.times = np.asarray(times)
+        self.snapshot_dir = snapshot_dir
+        self.history = []                     # (it, kkt, u [N, d])
+
+    def __call__(self, it, kkt, mu, alpha, u):
+        if u is None:
+            return
+        self.history.append((int(it), float(kkt), np.asarray(u)))
+        if self.snapshot_dir is not None:
+            import os
+
+            os.makedirs(self.snapshot_dir, exist_ok=True)
+            from ..quantum.pulses import ZeroOrderPulse
+
+            fig = plot_pulse(ZeroOrderPulse(u, self.times))
+            fig.suptitle(f"it {it}  kkt {kkt:.2e}")
+            fig.savefig(os.path.join(self.snapshot_dir,
+                                     f"pulse_{it:04d}.png"), dpi=80)
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+
+    def animate(self, path=None, fps: int = 10):
+        from ..quantum.pulses import ZeroOrderPulse
+
+        pulses = [ZeroOrderPulse(u, self.times)
+                  for _, _, u in self.history]
+        return animate_pulse(pulses, path, fps=fps)

@@ -12,10 +12,23 @@ import jax
 import jax.numpy as jnp
 import jax.tree_util as jtu
 import numpy as np
+import pytest
 
 import piccolax as px
 from piccolax.quantum.dynamics import unitary_fidelity, unitary_rollout
 from piccolax.solver.ipm import IPMOptions, solve_nlp
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_cache():
+    # The f32 solver compile aborts (SIGABRT inside XLA:CPU
+    # backend_compile_and_load) when it lands on a compile cache holding
+    # ~100 prior test computations; with a fresh cache it always
+    # compiles fine. Clear before and after so neither this module nor
+    # later ones inherit the pressure.
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
 
 
 def _cast32(t):
