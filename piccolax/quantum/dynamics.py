@@ -30,6 +30,7 @@ from .operators import EmbeddedOperator
 from .pulses import CubicSplinePulse, LinearSplinePulse, ZeroOrderPulse
 
 __all__ = [
+    "rollout_with_scipy",
     "fidelity",
     "density_fidelity",
     "unitary_fidelity",
@@ -401,3 +402,45 @@ def unitary_rollout_fidelity(system, us, times, goal,
             U_goal_sub = diag[:, None] * U_goal_sub
         return pedersen_fidelity(U_sub, U_goal_sub)
     return unitary_fidelity(U_final, jnp.asarray(goal))
+
+
+def rollout_with_scipy(system, pulse, times, initial=None, *,
+                       rtol: float = 1e-10, atol: float = 1e-10):
+    """Fully independent cross-check integrator: scipy solve_ivp (DOP853)
+    on the Schrodinger/unitary ODE, sharing NO code with the production
+    expm-scan/Magnus engines — the analogue of the reference's
+    QuantumToolbox `rollout_with_qutip` (reference:
+    ext/PiccoloQuantumToolboxExt.jl:21; quality bar |dF| <= 1e-4,
+    docs/literate/two_qubit_gate_validation.jl:348).
+
+    Host-side (numpy/scipy), not jittable. `initial` None integrates the
+    full unitary from the identity. Returns the state(s) at `times`.
+    """
+    from scipy.integrate import solve_ivp
+
+    times = np.asarray(times)
+    n = system.levels
+    if initial is None:
+        y0 = np.eye(n, dtype=complex).reshape(-1)
+        shape = (n, n)
+    else:
+        y0 = np.asarray(initial, dtype=complex).reshape(-1)
+        shape = (n,) if y0.size == n else (n, y0.size // n)
+
+    def rhs(t, y):
+        u = np.asarray(pulse(t))
+        H = np.asarray(system.H(u, t))
+        return (-1j * H @ y.reshape(shape)).reshape(-1)
+
+    # integrate interval-by-interval: knot times are discontinuity points
+    # of ZOH controls (the tstops discipline of the reference rollouts)
+    out = [y0.reshape(shape)]
+    y = y0
+    for ta, tb in zip(times[:-1], times[1:]):
+        sol = solve_ivp(rhs, (ta, tb), y, method="DOP853",
+                        rtol=rtol, atol=atol, dense_output=False)
+        if not sol.success:
+            raise RuntimeError(f"scipy integration failed: {sol.message}")
+        y = sol.y[:, -1]
+        out.append(y.reshape(shape))
+    return np.stack(out)
