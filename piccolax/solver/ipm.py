@@ -26,6 +26,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.pytree import pytree_dataclass
 from .kkt import (condensed_factor, condensed_solve, psd_clamp,
@@ -54,7 +55,12 @@ class IPMOptions:
     delta_c_f32: float = 1e-3    # constraint-row regularization (f32)
     hess_floor: float = 1e-6     # fallback-Hessian eigenvalue floor (f64)
     hess_floor_f32: float = 3e-3  # fallback-Hessian eigenvalue floor (f32)
-    ls_iters: int = 14           # parallel backtracking candidates
+    ls_iters: int = 8            # parallel backtracking candidates (each
+                                 # is a full merit evaluation x 3
+                                 # directions; 8 halvings reach 2^-7 of
+                                 # the fraction-to-boundary step, below
+                                 # which the clamp direction C at its own
+                                 # Armijo step is the better rescue)
     armijo_eta: float = 1e-4
     kappa_sigma: float = 1e10    # dual box safeguard
     bound_push: float = 1e-2
@@ -172,8 +178,26 @@ def _jacobians(nlp: CollocationNLP, Z, g, params):
         F = jnp.zeros((N, 0, dg), dt)
     if md:
         ks = jnp.arange(N - 1)
-        A = jax.vmap(lambda k, z, zp: jax.jacfwd(
-            lambda zz: nlp.dynamics(k, zz, zp, g, params))(z))(ks, Z[:-1], Z[1:])
+        if nlp.dynamics_split is not None:
+            # Split-argument fast path (see nlp.py): differentiate the
+            # expm-bearing (nl) and linear (state) column groups in two
+            # jacfwd calls so the state tangents never enter the expm
+            # derivative chain (symbolic zeros). Exact — same values.
+            nl_ix = np.asarray(nlp.nl_cols)
+            li_ix = np.asarray(nlp.lin_cols)
+            Zn, Zl = Z[:, nl_ix], Z[:, li_ix]
+            An = jax.vmap(lambda k, zn, zl, zp: jax.jacfwd(
+                lambda w: nlp.dynamics_split(k, w, zl, zp, g, params))(zn))(
+                    ks, Zn[:-1], Zl[:-1], Z[1:])
+            Al = jax.vmap(lambda k, zn, zl, zp: jax.jacfwd(
+                lambda w: nlp.dynamics_split(k, zn, w, zp, g, params))(zl))(
+                    ks, Zn[:-1], Zl[:-1], Z[1:])
+            A = jnp.zeros((N - 1, md, dz), dt)
+            A = A.at[:, :, nl_ix].set(An).at[:, :, li_ix].set(Al)
+        else:
+            A = jax.vmap(lambda k, z, zp: jax.jacfwd(
+                lambda zz: nlp.dynamics(k, zz, zp, g, params))(z))(
+                    ks, Z[:-1], Z[1:])
         B = jax.vmap(lambda k, z, zp: jax.jacfwd(
             lambda zz: nlp.dynamics(k, z, zz, g, params))(zp))(ks, Z[:-1], Z[1:])
         if dg:
@@ -223,6 +247,58 @@ def _stage_hessians(nlp: CollocationNLP, Z, g, params, lam):
     H = jax.vmap(lambda k, w, zp, le, ld, on: jax.hessian(
         lambda ww: lagr(k, ww, zp, le, ld, on))(w))(
             ks, W0, Zp, lam_e, lam_d, dyn_on)
+    return 0.5 * (H + jnp.swapaxes(H, -1, -2))
+
+
+def _stage_hessians_split(nlp: CollocationNLP, Z, g, params, lam):
+    """Split-argument variant of `_stage_hessians` (exact, faster).
+
+    The Lagrangian is differentiated with w partitioned as
+    wn = [z[nl_cols]; g] (reaches the expm kernel) and wl = z[lin_cols]
+    (residuals are linear in it): the jacfwd sweep over wl propagates
+    symbolic-zero tangents through the expm derivative chain, so only
+    the few control/timestep columns pay the forward-over-reverse expm
+    cost. Output is identical to `_stage_hessians` up to float rounding.
+    """
+    N, dz, dg, me, md = nlp.N, nlp.dz, nlp.dg, nlp.me, nlp.md
+    nl_ix = np.asarray(nlp.nl_cols)
+    li_ix = np.asarray(nlp.lin_cols)
+    n_nl = nl_ix.size
+    lam_e = lam[:, :me]
+    lam_d = lam[:, me:]
+    Zp = jnp.concatenate([Z[1:], Z[-1:]], axis=0)
+    dyn_on = jnp.concatenate(
+        [jnp.ones(N - 1), jnp.zeros(1)]) if md else jnp.zeros(N)
+
+    def lagr(k, wn, wl, zp, le, ld, on):
+        zn, gg = wn[:n_nl], wn[n_nl:]
+        val = nlp.stage_cost_split(k, zn, wl, gg, params)
+        if me:
+            val = val + jnp.dot(le, nlp.eq_mask[k]
+                                * nlp.stage_eq_split(k, zn, wl, gg, params))
+        if md:
+            val = val + on * jnp.dot(
+                ld, nlp.dynamics_split(k, zn, wl, zp, gg, params))
+        return val
+
+    grad2 = jax.grad(lagr, argnums=(1, 2))
+
+    def hess_one(k, wn, wl, zp, le, ld, on):
+        Hn = jax.jacfwd(grad2, argnums=1)(k, wn, wl, zp, le, ld, on)
+        Hl = jax.jacfwd(grad2, argnums=2)(k, wn, wl, zp, le, ld, on)
+        top = jnp.concatenate([Hn[0], Hl[0]], axis=1)   # rows: d/d wn
+        bot = jnp.concatenate([Hn[1], Hl[1]], axis=1)   # rows: d/d wl
+        return jnp.concatenate([top, bot], axis=0)      # permuted [dw, dw]
+
+    ks = jnp.arange(N)
+    Wn = jnp.concatenate([Z[:, nl_ix], jnp.broadcast_to(g, (N, dg))], axis=1)
+    Wl = Z[:, li_ix]
+    Hp = jax.vmap(hess_one)(ks, Wn, Wl, Zp, lam_e, lam_d, dyn_on)
+    # unpermute: Hp's index order is [nl_cols, dz..dz+dg, lin_cols]
+    perm = np.concatenate([nl_ix, np.arange(dz, dz + dg), li_ix])
+    inv = np.empty(dz + dg, dtype=np.int32)
+    inv[perm] = np.arange(dz + dg)
+    H = Hp[:, inv][:, :, inv]
     return 0.5 * (H + jnp.swapaxes(H, -1, -2))
 
 
@@ -471,7 +547,9 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         ch = jnp.where(inner_done, c - reg_row * (lam - lam_ref), ch)
 
         # -- KKT matrix blocks --------------------------------------------- #
-        Hext = _stage_hessians(nlp, Z, g, params, lam)
+        Hext = (_stage_hessians_split(nlp, Z, g, params, lam)
+                if nlp.stage_cost_split is not None
+                else _stage_hessians(nlp, Z, g, params, lam))
         SigL = jnp.where(hasL, s.zL / gapL, 0.0)
         SigU = jnp.where(hasU, s.zU / gapU, 0.0)
         Wzz = Hext[:, :dz, :dz]

@@ -50,10 +50,25 @@ class CollocationNLP:
     dg: int = static_field(default=0)
     md: int = static_field(default=0)
     me: int = static_field(default=0)
+    # Optional split-argument views for fast derivatives (see build_nlp):
+    # the same callables with z partitioned into (z_nl, z_lin) arguments,
+    # where z_nl = z[nl_cols] are the columns that reach the matrix
+    # exponential (drives, dt, t) and z_lin = z[lin_cols] the columns the
+    # residuals are linear in (state isos, pulse derivatives). Separate
+    # autodiff arguments let JAX propagate symbolic-zero tangents through
+    # the expm kernel for lin columns — an EXACT restructuring (the split
+    # is a performance hint, never an approximation). All None disables
+    # the fast path.
+    dynamics_split: object = static_field(default=None)   # (k, zn, zl, zp, g, p)
+    stage_cost_split: object = static_field(default=None)  # (k, zn, zl, g, p)
+    stage_eq_split: object = static_field(default=None)    # (k, zn, zl, g, p)
+    nl_cols: tuple = static_field(default=None)
+    lin_cols: tuple = static_field(default=None)
 
     def __init__(self, *, N, dz, dg, md, me, stage_cost, dynamics=None,
                  stage_eq=None, lo=None, hi=None, g_lo=None, g_hi=None,
-                 eq_mask=None):
+                 eq_mask=None, dynamics_split=None, stage_cost_split=None,
+                 stage_eq_split=None, nl_cols=None, lin_cols=None):
         f64 = jnp.result_type(float)
         lo = jnp.full((N, dz), -jnp.inf, f64) if lo is None else jnp.asarray(lo, f64)
         hi = jnp.full((N, dz), jnp.inf, f64) if hi is None else jnp.asarray(hi, f64)
@@ -74,6 +89,13 @@ class CollocationNLP:
         object.__setattr__(self, "stage_cost", stage_cost)
         object.__setattr__(self, "dynamics", dynamics)
         object.__setattr__(self, "stage_eq", stage_eq)
+        object.__setattr__(self, "dynamics_split", dynamics_split)
+        object.__setattr__(self, "stage_cost_split", stage_cost_split)
+        object.__setattr__(self, "stage_eq_split", stage_eq_split)
+        object.__setattr__(self, "nl_cols",
+                           tuple(nl_cols) if nl_cols is not None else None)
+        object.__setattr__(self, "lin_cols",
+                           tuple(lin_cols) if lin_cols is not None else None)
         object.__setattr__(self, "N", int(N))
         object.__setattr__(self, "dz", int(dz))
         object.__setattr__(self, "dg", int(dg))
