@@ -22,6 +22,7 @@ McCormick monotone barrier with:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 
 import jax
@@ -74,12 +75,24 @@ class IPMOptions:
     acceptable_tol: float = 1e-3
     acceptable_obj_change: float = 1e-5
     acceptable_iter: int = 10
-    # Numerical-floor stall detection: once primal-feasible, if the KKT
-    # error has not improved by stall_ratio over stall_iter consecutive
-    # iterations the iterate is at the dtype's accuracy floor — stop
-    # instead of burning max_iter (the f32 TPU path plateaus ~1e-3).
+    # Numerical-floor stall detection: once primal-feasible and the
+    # barrier is driven down, if the best KKT error has not improved by
+    # at least (1 - stall_ratio) over a window of stall_iter iterations,
+    # the iterate is creeping at the dtype's accuracy floor — stop with
+    # stalled=True (NOT converged) instead of burning max_iter (the f32
+    # TPU path plateaus around 1e-3 stationarity).
     stall_iter: int = 12
-    stall_ratio: float = 0.97
+    stall_ratio: float = 0.7
+    # Inexact proximal-point refresh: the dual reference lam_ref normally
+    # steps when the inner (shifted) subproblem reaches kappa_eps*mu; at
+    # the dtype's accuracy floor that test is unreachable and the TRUE
+    # constraint violation would freeze at reg*(lam - lam_ref). If the
+    # inner error makes < (1 - prox_ratio) relative progress over a
+    # prox_iter window, refresh lam_ref anyway — the outer AL iteration
+    # then keeps contracting ||c|| below the shift floor (this is what
+    # lets the float32 path reach ~1e-5 feasibility with delta_c ~ 1e-3).
+    prox_iter: int = 6
+    prox_ratio: float = 0.7
     # KKT linear-solver backend:
     #   "cr"     — condensed dual Schur complement + block cyclic
     #              reduction (kkt.py). O(log N) sequential depth, all
@@ -88,7 +101,22 @@ class IPMOptions:
     #              (O(N) scan; reference implementation).
     #   "native" — C++ exact-Cholesky host library via pure_callback
     #              (the Ipopt/MadNLP-style second backend, CPU only).
+    #   "knot"   — knot-sharded condensed KKT over a device mesh
+    #              (parallel/sharded_kkt.py): SPIKE partitioning with one
+    #              all_gather per solve — the long-horizon sequence-
+    #              parallel path (SURVEY.md section 5.7). Requires
+    #              solve_nlp(..., mesh=...); N divisible by the mesh axis
+    #              with >= 3 knots per device; not vmappable.
     kkt_backend: str = "cr"
+    # Exact-Newton direction: factor the UNCLAMPED Lagrangian-Hessian KKT
+    # as a second candidate (quadratic local convergence when the primal
+    # blocks are PD). None = auto: enabled in float64 (tight tolerances
+    # want the Newton tail), disabled in float32 (measured on the TPU
+    # bench: the exact-Hessian factorization fails the PD test on ~100%
+    # of iterations for nonconvex fidelity objectives, so its
+    # factorization + solves are pure overhead; the SOC-corrected clamp
+    # direction converges to the f32 accuracy floor regardless).
+    newton_dir: bool | None = None
 
 
 @pytree_dataclass
@@ -112,10 +140,16 @@ class IPMState:
     f_prev: jnp.ndarray     # objective at previous iterate
     stagnant: jnp.ndarray   # consecutive acceptable+stagnant iterations
     kkt_best: jnp.ndarray   # best KKT error seen (stall detection)
-    no_prog: jnp.ndarray    # consecutive iterations without KKT progress
+    kkt_mark: jnp.ndarray   # kkt_best at the last stall-window boundary
+    inner_best: jnp.ndarray  # best inner (shifted) error this subproblem
+    inner_mark: jnp.ndarray  # inner_best at the last prox-window boundary
+    inner_count: jnp.ndarray  # iterations since the last prox window
+    stall_wins: jnp.ndarray  # consecutive no-progress stall windows
+    no_prog: jnp.ndarray    # iterations since the last window boundary
     stalled: jnp.ndarray    # True if the stop was the numerical-floor
-                            # stall heuristic (kkt_err may exceed tol),
-                            # not the KKT tolerance test
+                            # stall heuristic (kkt_err exceeds tol and
+                            # converged stays False), not the tolerance
+                            # test — surfaced by QuantumControlProblem
 
 
 def _finite(x):
@@ -315,7 +349,8 @@ def _gradients(nlp: CollocationNLP, Z, g, params):
     return gz, gg
 
 
-def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
+def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
+           mesh=None, knot_axis: str = "knot"):
     """Build (initial state, iteration body) for the IPM loop."""
     o = options
     N, dz, dg, me, md = nlp.N, nlp.dz, nlp.dg, nlp.me, nlp.md
@@ -327,6 +362,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
     # dual regularization and fallback-Hessian floor to keep the
     # quasidefinite recursion's dynamic range within 1/eps32.
     is_f32 = jnp.dtype(f64) == jnp.float32
+    use_newton = o.newton_dir if o.newton_dir is not None else not is_f32
     delta_c = max(o.delta_c, o.delta_c_f32) if is_f32 else o.delta_c
     hess_floor = max(o.hess_floor, o.hess_floor_f32) if is_f32 \
         else o.hess_floor
@@ -372,7 +408,12 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         kkt_err=jnp.asarray(jnp.inf, f64), alpha=jnp.asarray(0.0, f64),
         delta_used=jnp.asarray(0.0, f64),
         f_prev=jnp.asarray(jnp.inf, f64), stagnant=jnp.asarray(0),
-        kkt_best=jnp.asarray(jnp.inf, f64), no_prog=jnp.asarray(0),
+        kkt_best=jnp.asarray(jnp.inf, f64),
+        kkt_mark=jnp.asarray(jnp.inf, f64),
+        inner_best=jnp.asarray(jnp.inf, f64),
+        inner_mark=jnp.asarray(jnp.inf, f64),
+        inner_count=jnp.asarray(0), stall_wins=jnp.asarray(0),
+        no_prog=jnp.asarray(0),
         stalled=jnp.asarray(False),
     )
 
@@ -506,18 +547,29 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
              <= o.acceptable_obj_change * jnp.maximum(1.0, jnp.abs(f_now)))
         stagnant = jnp.where(acc_now, s.stagnant + 1, 0)
         converged = converged | (stagnant >= o.acceptable_iter)
-        # numerical-floor stall: primal-feasible + no KKT progress for
-        # stall_iter consecutive iterations -> the dtype's accuracy floor
-        improved = kkt0 < o.stall_ratio * s.kkt_best
+        # numerical-floor stall: windowed progress test. Every stall_iter
+        # iterations, compare the best KKT error against its value at the
+        # previous window mark; TWO consecutive windows each with less
+        # than (1 - stall_ratio) relative improvement, after the barrier
+        # is fully driven down, mean the iterate is creeping at the
+        # dtype's accuracy floor. Reported as stalled=True, converged
+        # stays honest (mid-descent plateaus and warm re-solves whose mu
+        # was reset to mu_init must not read as a numerical floor — the
+        # double-window rule plus the mu gate protect those).
         kkt_best = jnp.minimum(kkt0, s.kkt_best)
-        no_prog = jnp.where(improved, 0, s.no_prog + 1)
-        # only once the barrier is nearly fully driven down — mid-descent
-        # plateaus (and warm re-solves whose mu was reset to mu_init)
-        # must not read as a numerical floor
-        stalled = (no_prog >= o.stall_iter) & \
-            (err_prim < 10.0 * o.constr_viol_tol) & (mu <= 1e-3)
-        stalled = s.stalled | (stalled & ~converged)
-        converged = converged | stalled
+        window_done = s.no_prog + 1 >= o.stall_iter
+        win_stalled = window_done & (kkt_best > o.stall_ratio * s.kkt_mark)
+        stall_wins = jnp.where(
+            window_done, jnp.where(win_stalled, s.stall_wins + 1, 0),
+            s.stall_wins)
+        # only stop at an iterate near the best error seen — a proximal
+        # refresh transiently spikes the dual residual and the stop must
+        # not land on the spike
+        stall_now = (stall_wins >= 2) & (mu <= 1e-3) & \
+            (kkt0 <= 3.0 * kkt_best)
+        kkt_mark = jnp.where(window_done, kkt_best, s.kkt_mark)
+        no_prog = jnp.where(window_done, 0, s.no_prog + 1)
+        stalled = s.stalled | (stall_now & ~converged)
 
         # -- barrier update ------------------------------------------------ #
         def _cmax(comp, mask):
@@ -543,8 +595,22 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             jnp.maximum(o.tol / 10.0,
                         jnp.minimum(o.kappa_mu * mu, mu ** o.theta_mu)),
             mu)
-        lam_ref = jnp.where(inner_done, lam, s.lam_ref)
-        ch = jnp.where(inner_done, c - reg_row * (lam - lam_ref), ch)
+        # inexact proximal refresh (see IPMOptions.prox_iter): windowed
+        # inner-progress test; a stalled inner subproblem still steps the
+        # dual proximal reference so ||c|| keeps contracting.
+        inner_best = jnp.minimum(err_mu, s.inner_best)
+        iwin_done = s.inner_count + 1 >= o.prox_iter
+        inner_stalled = iwin_done & (inner_best > o.prox_ratio * s.inner_mark)
+        refresh = inner_done | inner_stalled
+        lam_ref = jnp.where(refresh, lam, s.lam_ref)
+        ch = jnp.where(refresh, c - reg_row * (lam - lam_ref), ch)
+        inner_mark = jnp.where(iwin_done, inner_best, s.inner_mark)
+        inner_count = jnp.where(iwin_done | inner_done, 0, s.inner_count + 1)
+        # a new subproblem (mu shrank or reference moved) resets the
+        # inner-progress tracking
+        INF_ = jnp.asarray(jnp.inf, f64)
+        inner_best = jnp.where(refresh, INF_, inner_best)
+        inner_mark = jnp.where(refresh, INF_, inner_mark)
 
         # -- KKT matrix blocks --------------------------------------------- #
         Hext = (_stage_hessians_split(nlp, Z, g, params, lam)
@@ -552,8 +618,9 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
                 else _stage_hessians(nlp, Z, g, params, lam))
         SigL = jnp.where(hasL, s.zL / gapL, 0.0)
         SigU = jnp.where(hasU, s.zU / gapU, 0.0)
-        Wzz = Hext[:, :dz, :dz]
-        Wzz = Wzz.at[:, jnp.arange(dz), jnp.arange(dz)].add(SigL + SigU)
+        if use_newton:
+            Wzz = Hext[:, :dz, :dz]
+            Wzz = Wzz.at[:, jnp.arange(dz), jnp.arange(dz)].add(SigL + SigU)
         if dg:
             Cz = Hext[:, :dz, dz:]
             gSig = jnp.where(ghasL, s.gL / ggapL, 0.0) + \
@@ -599,6 +666,12 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
                 if o.kkt_backend == "qd":
                     def s1(rr):
                         return qd_solve(aux["f"], Cself, Cn, rr, dz)
+                elif o.kkt_backend == "knot":
+                    from ..parallel.sharded_kkt import knot_condensed_solve
+
+                    def s1(rr):
+                        return knot_condensed_solve(
+                            aux["f"], rr, mesh, knot_axis, dz)
                 else:
                     def s1(rr):
                         return condensed_solve(aux["f"], Cself, Cn, rr, dz)
@@ -616,6 +689,13 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             aux = {"W": Wmat}
             if o.kkt_backend == "qd":
                 aux["f"] = qd_factor(Wmat, Cself, lam_reg, Cn)
+            elif o.kkt_backend == "knot":
+                from ..parallel.sharded_kkt import knot_condensed_factor
+                if mesh is None:
+                    raise ValueError(
+                        "kkt_backend='knot' needs solve_nlp(..., mesh=...)")
+                aux["f"] = knot_condensed_factor(
+                    Wmat, Cself, lam_reg, Cn, mesh, knot_axis)
             elif o.kkt_backend != "native":
                 aux["f"] = condensed_factor(Wmat, Cself, lam_reg, Cn)
             if dg:
@@ -659,26 +739,21 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         bg0 = b if dg else jnp.zeros(0, f64)
         rng_dz = jnp.arange(dz)
 
-        # -- two-direction strategy ----------------------------------------- #
-        # N: exact Newton on the full indefinite KKT (quadratic tail), kept
-        #    only if the factorization goes through (primal blocks PD along
-        #    the condensed/quasidefinite recursion) AND it passes a
-        #    positive-curvature test.
-        # C: globally-robust fallback with the matmul-only PSD-clamped
+        # -- candidate-direction strategy ------------------------------------ #
+        # C: globally-robust direction from the matmul-only PSD-clamped
         #    Lagrangian Hessian (kkt.psd_clamp — preserves all positive
         #    curvature, no eigendecomposition) — always a descent direction.
-        # The SOC/Mehrotra-corrected step S reuses the Newton factorization.
-        # Fixed two factorizations per iteration: static shapes, no ladder.
-        auxN = factorize(Wzz)
-        dZN, dlamN, dgsN = kkt_solve(auxN, a, -ch, bg0)
-        okN = curvature_ok(Wzz, dZN, dlamN, dgsN)
-        # Sanitize: a failed factorization signals with NaNs, which must
-        # not leak into the SOC right-hand sides or the merit.
-        dZN = jnp.where(okN, dZN, 0.0)
-        dlamN = jnp.where(okN, dlamN, 0.0)
-        dgsN = jnp.where(okN, dgsN, 0.0)
-
-        HB = psd_clamp(Hext[:, :dz, :dz], hess_floor)
+        # N (options.newton_dir): exact Newton on the full indefinite KKT
+        #    (quadratic tail), kept only if the factorization goes through
+        #    (primal blocks PD along the condensed/quasidefinite recursion)
+        #    AND it passes a positive-curvature test.
+        # S: Mehrotra/SOC-corrected step, computed on the best valid base
+        #    factorization (N when enabled and valid, else C) — so the
+        #    corrector exists even when the exact-Hessian KKT is rejected.
+        # Static shapes throughout: one factorization when newton_dir is
+        # off, two when on — no inertia ladder.
+        HB = psd_clamp(Hext[:, :dz, :dz], hess_floor,
+                       iters=20 if is_f32 else 32)
         WzzC = HB.at[:, rng_dz, rng_dz].add(SigL + SigU)
         auxC = factorize(WzzC)
         dZC, dlamC, dgsC = kkt_solve(auxC, a, -ch, bg0)
@@ -687,39 +762,62 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         dZC = jnp.where(okC, dZC, 0.0)
         dlamC = jnp.where(okC, dlamC, 0.0)
         dgsC = jnp.where(okC, dgsC, 0.0)
-        aux = auxN
+
+        if use_newton:
+            auxN = factorize(Wzz)
+            dZN, dlamN, dgsN = kkt_solve(auxN, a, -ch, bg0)
+            okN = curvature_ok(Wzz, dZN, dlamN, dgsN)
+            # Sanitize: a failed factorization signals with NaNs, which
+            # must not leak into the SOC right-hand sides or the merit.
+            dZN = jnp.where(okN, dZN, 0.0)
+            dlamN = jnp.where(okN, dlamN, 0.0)
+            dgsN = jnp.where(okN, dgsN, 0.0)
+            # SOC rides the exact-Newton factorization only: correcting
+            # the clamp direction instead (tried) lets a plausible-merit
+            # but poorly-scaled corrected step win the comparison and
+            # derail hard nonconvex solves.
+            aux = auxN
+            dZb, dgsb, dlamb = dZN, dgsN, dlamN
+            okB = okN
+        else:
+            okN = jnp.asarray(False)
+            # clamp-based SOC: without the Newton direction the corrector
+            # is what restores fast local convergence on the f32 path
+            aux = auxC
+            dZb, dgsb, dlamb = dZC, dgsC, dlamC
+            okB = okC
 
         # -- second-order corrected step S ---------------------------------- #
         # (i) Mehrotra-style complementarity corrector: push the dZ*dzL
         #     products of the first solve into the eliminated dual rhs;
         # (ii) constraint SOC (Maratos fix): correct for the quadratic
         #     remainder of the dynamics/equality residuals.
-        # Both reuse the SELECTED factorization.
-        dzL1 = jnp.where(hasL, mu / gapL - s.zL - SigL * dZN, 0.0)
-        dzU1 = jnp.where(hasU, mu / gapU - s.zU + SigU * dZN, 0.0)
-        a_corr = a - jnp.where(hasL, dZN * dzL1 / gapL, 0.0) \
-            - jnp.where(hasU, dZN * dzU1 / gapU, 0.0)
+        # Both reuse the base factorization.
+        dzL1 = jnp.where(hasL, mu / gapL - s.zL - SigL * dZb, 0.0)
+        dzU1 = jnp.where(hasU, mu / gapU - s.zU + SigU * dZb, 0.0)
+        a_corr = a - jnp.where(hasL, dZb * dzL1 / gapL, 0.0) \
+            - jnp.where(hasU, dZb * dzU1 / gapU, 0.0)
         if dg:
             dgL1 = jnp.where(ghasL, mu / ggapL - s.gL
-                             - (s.gL / ggapL) * dgsN, 0.0)
+                             - (s.gL / ggapL) * dgsb, 0.0)
             dgU1 = jnp.where(ghasU, mu / ggapU - s.gU
-                             + (s.gU / ggapU) * dgsN, 0.0)
-            b_corr = b - jnp.where(ghasL, dgsN * dgL1 / ggapL, 0.0) \
-                - jnp.where(ghasU, dgsN * dgU1 / ggapU, 0.0)
+                             + (s.gU / ggapU) * dgsb, 0.0)
+            b_corr = b - jnp.where(ghasL, dgsb * dgL1 / ggapL, 0.0) \
+                - jnp.where(ghasU, dgsb * dgU1 / ggapU, 0.0)
         else:
             b_corr = bg0
-        c_soc = nlp_constraint_residuals(nlp, Z + dZN, g + dgsN, params)
-        ch_soc = c_soc - reg_row * (lam + dlamN - lam_ref)
-        JdZ1 = jnp.einsum("kmz,kz->km", Cself, dZN)
+        c_soc = nlp_constraint_residuals(nlp, Z + dZb, g + dgsb, params)
+        ch_soc = c_soc - reg_row * (lam + dlamb - lam_ref)
+        JdZ1 = jnp.einsum("kmz,kz->km", Cself, dZb)
         JdZ1 = JdZ1.at[:-1].add(
-            jnp.einsum("kmz,kz->km", Cnext[:-1], dZN[1:]))
+            jnp.einsum("kmz,kz->km", Cnext[:-1], dZb[1:]))
         if dg:
-            JdZ1 = JdZ1 + jnp.einsum("kmg,g->km", Jg, dgsN)
+            JdZ1 = JdZ1 + jnp.einsum("kmg,g->km", Jg, dgsb)
         # quadratic remainder of the SHIFTED constraint (linear model is
         # ch + J dZ - reg * dlam)
-        q2 = ch_soc - ch - (JdZ1 - reg_row * dlamN)
+        q2 = ch_soc - ch - (JdZ1 - reg_row * dlamb)
         dZS, dlamS, dgsS = kkt_solve(aux, a_corr, -ch - q2, b_corr)
-        okS = okN & jnp.all(jnp.isfinite(dZS)) & jnp.all(jnp.isfinite(dlamS)) \
+        okS = okB & jnp.all(jnp.isfinite(dZS)) & jnp.all(jnp.isfinite(dlamS)) \
             & jnp.all(jnp.isfinite(dgsS))
         dZS = jnp.where(okS, dZS, 0.0)
         dlamS = jnp.where(okS, dlamS, 0.0)
@@ -757,9 +855,6 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
                 val = val + jnp.sum(gradM_g * dgs_)
             return val
 
-        dphiS = merit_dderiv(dZS, dgsS, dlamS)
-        dphiN = merit_dderiv(dZN, dgsN, dlamN)
-        dphiC = merit_dderiv(dZC, dgsC, dlamC)
         phi0, _ = al_merit(Z, g, lam, lam_ref, mu)
 
         def alpha_max_primal(dZ_, dgs_):
@@ -771,17 +866,24 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
                     max_step(ggapU, -dgs_, ghasU)))
             return ap
 
+        # Candidate set: (dZ, dgs, dlam, ok, diagnostic code). The clamp
+        # direction C is last — it is the fallback when nothing passes.
+        dirs = [(dZS, dgsS, dlamS, okS, 0.0)]
+        if use_newton:
+            dirs.append((dZN, dgsN, dlamN, okN, 1.0))
+        dirs.append((dZC, dgsC, dlamC, okC, 2.0))
+        codes = jnp.asarray([d[4] for d in dirs], f64)
+
         # ONE merged parallel Armijo backtracking over all candidate
-        # directions (SOC-corrected step S, exact Newton step N, clamp
-        # step C): all 3 x ls_iters merit evaluations run in a single
-        # vmapped batch.
-        dZ2 = jnp.stack([dZS, dZN, dZC])
-        dgs2 = jnp.stack([dgsS, dgsN, dgsC])
-        dlam2 = jnp.stack([dlamS, dlamN, dlamC])
-        ap2 = jnp.stack([alpha_max_primal(dZS, dgsS),
-                         alpha_max_primal(dZN, dgsN),
-                         alpha_max_primal(dZC, dgsC)])
-        D2 = jnp.minimum(jnp.stack([dphiS, dphiN, dphiC]), 0.0)
+        # directions: all len(dirs) x ls_iters merit evaluations run in
+        # a single vmapped batch.
+        dZ2 = jnp.stack([d[0] for d in dirs])
+        dgs2 = jnp.stack([d[1] for d in dirs])
+        dlam2 = jnp.stack([d[2] for d in dirs])
+        ok_dir = jnp.stack([d[3] for d in dirs])
+        ap2 = jnp.stack([alpha_max_primal(d[0], d[1]) for d in dirs])
+        D2 = jnp.minimum(jnp.stack(
+            [merit_dderiv(d[0], d[1], d[2]) for d in dirs]), 0.0)
         alphas2 = ap2[:, None] * (0.5 ** jnp.arange(o.ls_iters, dtype=f64))
 
         def eval_merit(dZ_, dgs_, dlam_, al):
@@ -807,9 +909,6 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
 
         alpha2 = jnp.where(any2, _take(alphas2, idx2), alphas2[:, -1])
         phi2 = jnp.where(any2, _take(phis2, idx2), phis2[:, -1])
-        alphaS, alphaN, alphaC = alpha2[0], alpha2[1], alpha2[2]
-        phiS, phiN, phiC = phi2[0], phi2[1], phi2[2]
-        anyS, anyN, anyC = any2[0], any2[1], any2[2]
 
         # -- bound-dual update machinery ------------------------------------ #
         def dual_updates(dZ_, dgs_):
@@ -842,27 +941,23 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
         # steps whose multiplier component explodes, entering a limit
         # cycle that never converges (round-2 regression, VERDICT.md).
         INF = jnp.asarray(jnp.inf, f64)
-        phi3 = jnp.stack([jnp.where(okS & anyS, phiS, INF),
-                          jnp.where(okN & anyN, phiN, INF),
-                          jnp.where(okC & anyC, phiC, INF)])
+        phi3 = jnp.where(ok_dir & any2, phi2, INF)
         pick = jnp.argmin(phi3)
-        pick = jnp.where(jnp.isinf(jnp.min(phi3)), 2, pick)
-        delta_used = pick.astype(f64)
+        pick = jnp.where(jnp.isinf(jnp.min(phi3)), len(dirs) - 1, pick)
+        delta_used = codes[pick]
 
-        def sel(xs):
-            return jnp.stack(xs)[pick]
-
-        dZ = sel([dZS, dZN, dZC])
-        dgs = sel([dgsS, dgsN, dgsC])
-        dlam = sel([dlamS, dlamN, dlamC])
-        alpha = sel([alphaS, alphaN, alphaC])
+        dZ = dZ2[pick]
+        dgs = dgs2[pick]
+        dlam = dlam2[pick]
+        alpha = alpha2[pick]
 
         # -- bound dual steps + dual fraction-to-boundary ------------------- #
         dzL, dzU, dgL, dgU, alpha_d = dual_updates(dZ, dgs)
 
         # -- masked update ------------------------------------------------- #
-        step = jnp.where(converged, 0.0, alpha)
-        dstep = jnp.where(converged, 0.0, alpha_d)
+        done = converged | stalled
+        step = jnp.where(done, 0.0, alpha)
+        dstep = jnp.where(done, 0.0, alpha_d)
         Z_new = Z + step * dZ
         g_new = g + step * dgs
         lam_new = lam + step * dlam
@@ -900,12 +995,12 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions):
             delta_used=delta_used
             + 10.0 * okN.astype(f64) + 100.0 * okC.astype(f64),
             f_prev=f_now, stagnant=stagnant,
-            kkt_best=kkt_best, no_prog=no_prog, stalled=stalled)
+            kkt_best=kkt_best, kkt_mark=kkt_mark,
+            inner_best=inner_best, inner_mark=inner_mark,
+            inner_count=inner_count, stall_wins=stall_wins,
+            no_prog=no_prog, stalled=stalled)
 
     return state, body
-
-
-import contextlib
 
 
 def _trace_ctx(Z0):
@@ -923,8 +1018,10 @@ def _trace_ctx(Z0):
 
 def solve_nlp(nlp: CollocationNLP, params, Z0, g0=None,
               options: IPMOptions = IPMOptions(),
-              callback=None, callback_every: int = 1) -> IPMState:
-    """Solve the collocation NLP from (Z0, g0). Fully jittable/vmappable.
+              callback=None, callback_every: int = 1,
+              mesh=None, knot_axis: str = "knot") -> IPMState:
+    """Solve the collocation NLP from (Z0, g0). Fully jittable/vmappable
+    (except kkt_backend="knot", which is single-problem).
 
     Runs in the dtype of Z0: float32 is the TPU production path (see
     IPMOptions *_f32 knobs), float64 the CPU/verification path.
@@ -933,9 +1030,16 @@ def solve_nlp(nlp: CollocationNLP, params, Z0, g0=None,
     via jax.debug.callback every callback_every accepted iterations —
     the per-iteration observability hook (Ipopt iteration log /
     LivePulsePlotCallback analogue). Adds a host sync per firing; leave
-    None in production."""
+    None in production.
+
+    mesh/knot_axis: device mesh for kkt_backend="knot" — the knot axis of
+    every [N, ...] array is sharded over mesh's knot_axis devices and the
+    KKT is solved with the SPIKE-partitioned sharded backend
+    (parallel/sharded_kkt.py); the per-knot derivative/residual sweeps
+    partition automatically under GSPMD."""
     with _trace_ctx(Z0):
-        state, body = _setup(nlp, params, Z0, g0, options)
+        state, body = _setup(nlp, params, Z0, g0, options,
+                             mesh=mesh, knot_axis=knot_axis)
 
         if callback is not None:
             inner_body = body
@@ -953,20 +1057,22 @@ def solve_nlp(nlp: CollocationNLP, params, Z0, g0=None,
                 return s2
 
         def cond(s: IPMState):
-            return (s.it < options.max_iter) & (~s.converged)
+            return (s.it < options.max_iter) & ~(s.converged | s.stalled)
 
         return jax.lax.while_loop(cond, body, state)
 
 
 def solve_nlp_traced(nlp: CollocationNLP, params, Z0, g0=None,
-                     options: IPMOptions = IPMOptions()):
+                     options: IPMOptions = IPMOptions(),
+                     mesh=None, knot_axis: str = "knot"):
     """Like solve_nlp but runs exactly max_iter scan steps and returns
     (state, history dict) for convergence diagnostics."""
     with _trace_ctx(Z0):
-        state0, body = _setup(nlp, params, Z0, g0, options)
+        state0, body = _setup(nlp, params, Z0, g0, options,
+                              mesh=mesh, knot_axis=knot_axis)
 
         def step(s, _):
-            s_new = jax.lax.cond(s.converged, lambda x: x, body, s)
+            s_new = jax.lax.cond(s.converged | s.stalled, lambda x: x, body, s)
             return s_new, {"kkt": s_new.kkt_err, "mu": s_new.mu,
                            "alpha": s_new.alpha, "nu": s_new.nu,
                            "delta": s_new.delta_used, "f": s_new.f_prev}
