@@ -17,6 +17,12 @@ __all__ = ["PiccoloOptions"]
 class PiccoloOptions:
     display: str = "compact"                 # silent | compact | standard | detailed
     timesteps_all_equal: bool = True
+    geodesic: bool = True                    # geodesic state init (reference
+                                             # options.jl:70; rollout of the
+                                             # seed pulse when False)
+    rollout_integrator: str = "auto"         # sync/validation rollout method:
+                                             # auto | zoh | magnus4 (reference
+                                             # options.jl:69 rollout_integrator)
     zero_initial_and_final_derivative: bool = False
     complex_control_norm_constraint: float | None = None
     bound_state: float | None = None         # +-box on state iso components
@@ -27,3 +33,4 @@ class PiccoloOptions:
 
     def __post_init__(self):
         assert self.display in ("silent", "compact", "standard", "detailed")
+        assert self.rollout_integrator in ("auto", "zoh", "magnus4")

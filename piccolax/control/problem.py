@@ -156,7 +156,9 @@ def build_nlp(traj: Trajectory, objectives, integrators, eq_groups=(),
             nl_names.add(intg.drive_name)
             nl_names.add(intg.time_name)
             if getattr(intg, "time_dependent", False):
-                nl_names.add("t")
+                # accumulated-time column name as the integrator spells it
+                # (TimeAccumulator's t_name is configurable)
+                nl_names.add(getattr(intg, "t_name", "t"))
     nl_order = [n for n in layout.names if n in nl_names]
     lin_order = [n for n in layout.names if n not in nl_names]
     split_ok = md > 0 and nl_order and lin_order
@@ -466,14 +468,30 @@ class QuantumControlProblem:
         return self
 
     def sync_trajectory(self):
-        """Update globals, extract the optimized pulse, re-rollout."""
+        """Update globals, extract the optimized pulse, re-rollout.
+
+        The re-rollout honors PiccoloOptions.rollout_integrator /
+        rollout_n_substeps when the problem was built from a template
+        with an options record (reference: options.jl:69)."""
         gp = {n: self.traj.global_data[n]
               for n in self.qtraj.system.global_params}
         if gp:
             new_system = self.qtraj.system.with_global_params(gp)
             self.qtraj = self.qtraj.replace(system=new_system)
         pulse = extract_pulse(self.qtraj, self.traj)
-        self.qtraj = self.qtraj.rollout(pulse)
+        kw = {}
+        meth = getattr(self, "_rollout_method", None)
+        if meth is not None:
+            kw["method"] = meth
+        ns = getattr(self, "_rollout_substeps", None)
+        if ns is not None:
+            kw["n_substeps"] = ns
+        try:
+            self.qtraj = self.qtraj.rollout(pulse, **kw)
+        except TypeError:
+            # density rollouts have no method switch
+            kw.pop("method", None)
+            self.qtraj = self.qtraj.rollout(pulse, **kw)
         return self
 
     # -- accessors -----------------------------------------------------------
@@ -488,13 +506,27 @@ class QuantumControlProblem:
         rollouts_extensions.jl:892-931)."""
         pg = getattr(self, "_phase_global", None)
         if pg is not None and "phases" not in kw:
-            name, n_qubits = pg
+            name, spec = pg
             kw["phases"] = np.asarray(self.traj.global_data[name])
-            from ..quantum.trajectories import UnitaryTrajectory
+            from ..quantum.trajectories import KetTrajectory, UnitaryTrajectory
             if isinstance(self.qtraj, UnitaryTrajectory):
-                kw.setdefault("n_qubits", n_qubits)
+                kw.setdefault("n_qubits", spec)
+            elif isinstance(self.qtraj, KetTrajectory) \
+                    and isinstance(spec, tuple):
+                kw.setdefault("subsystem_levels", spec)
         return self.qtraj.fidelity(**kw)
 
     @property
     def converged(self) -> bool:
+        """True only if the KKT tolerance (or acceptable) test passed —
+        a numerical-floor stall reports False here and True in
+        `stalled` (honest f32 termination semantics)."""
         return bool(self.result.converged) if self.result is not None else False
+
+    @property
+    def stalled(self) -> bool:
+        """True if the solve stopped at the dtype's accuracy floor (KKT
+        progress below the stall threshold) without meeting the KKT
+        tolerance. The iterate is still primal-feasible; validate
+        solution quality with `fidelity()` / `rollout_fidelity`."""
+        return bool(self.result.stalled) if self.result is not None else False

@@ -202,7 +202,13 @@ def _options_constraints(qtraj, options):
 def _maybe_display(prob, options):
     """Construction-time display tiers (reference: PiccoloOptions.display,
     options.jl:16-50): compact = one line (no NLP build), standard/
-    detailed = full inspection tree."""
+    detailed = full inspection tree. Also attaches the options' rollout
+    preferences consumed by sync_trajectory."""
+    if options is not None:
+        if options.rollout_integrator != "auto":
+            prob._rollout_method = options.rollout_integrator
+        if options.rollout_n_substeps != 1:
+            prob._rollout_substeps = options.rollout_n_substeps
     if options is None or options.display == "silent":
         return prob
     if options.display == "compact":
@@ -232,22 +238,38 @@ def _global_slice(traj, name):
 
 
 def _apply_free_phase(qtraj, traj, objectives, free_phase, phase_name, Q):
-    """Add per-qubit free Z-phase globals and swap the terminal infidelity
-    objective for its free-phase variant (reference:
-    setup_free_phase_globals! + _make_free_phase_goal,
-    _problem_templates.jl:253,298)."""
-    if free_phase is True:
+    """Add free phase globals and swap the terminal infidelity objective
+    for its free-phase variant (reference: setup_free_phase_globals! +
+    _make_free_phase_goal, _problem_templates.jl:253,298).
+
+    free_phase forms:
+    - True: infer — per-qubit Z phases for unitary / coherent multi-ket
+      goals; number-operator phases over the system's subsystem_levels
+      for a single ket (reference: smooth_pulse_problem.jl:28-64).
+    - int: that many per-qubit Z phases.
+    - tuple/list of ints: explicit subsystem levels for number-operator
+      phases (single-ket goals).
+    """
+    levels = None
+    if isinstance(free_phase, (tuple, list)):
+        levels = tuple(int(v) for v in free_phase)
+        n_phase = len(levels)
+    elif free_phase is True and isinstance(qtraj, KetTrajectory):
+        levels = tuple(getattr(qtraj.system, "subsystem_levels", None)
+                       or (qtraj.system.levels,))
+        n_phase = len(levels)
+    elif free_phase is True:
         if isinstance(qtraj, UnitaryTrajectory) and qtraj.subspace is not None:
             dim = len(qtraj.subspace)
         elif isinstance(qtraj, MultiKetTrajectory):
             dim = int(np.asarray(qtraj.goals).shape[-1])
         else:
             dim = qtraj.system.levels
-        n_qubits = max(1, int(round(np.log2(dim))))
+        n_phase = max(1, int(round(np.log2(dim))))
     else:
-        n_qubits = int(free_phase)
+        n_phase = int(free_phase)
     gd = dict(traj.global_data)
-    gd[phase_name] = jnp.zeros(n_qubits)
+    gd[phase_name] = jnp.zeros(n_phase)
     traj = traj.replace(global_data=gd)
     sl = _global_slice(traj, phase_name)
 
@@ -258,19 +280,34 @@ def _apply_free_phase(qtraj, traj, objectives, free_phase, phase_name, Q):
     for o in objectives:
         if (isinstance(o, obj.UnitaryInfidelityObjective)
                 and not isinstance(o, obj.UnitaryFreePhaseInfidelityObjective)):
+            if levels is not None and any(v != 2 for v in levels):
+                raise ValueError(
+                    "subsystem-level free phases apply to ket goals; "
+                    "unitary goals take per-qubit phases (free_phase=True "
+                    "or an int qubit count)")
             new_objs.append(obj.UnitaryFreePhaseInfidelityObjective(
-                o.state_name, phase_name, n_qubits, Q=o.Q,
+                o.state_name, phase_name, n_phase, Q=o.Q,
                 subspace=qtraj.subspace
                 if isinstance(qtraj, UnitaryTrajectory) else None,
                 gview=gview))
+        elif (isinstance(o, obj.KetInfidelityObjective)
+              and not isinstance(o, (obj.KetFreePhaseInfidelityObjective,
+                                     obj.CoherentKetInfidelityObjective))):
+            if levels is None:
+                levels = (2,) * n_phase
+            new_objs.append(obj.KetFreePhaseInfidelityObjective(
+                o.state_name, levels, Q=o.Q, gview=gview,
+                base_dim=o.base_dim))
         elif (isinstance(o, obj.CoherentKetInfidelityObjective)
               and not isinstance(o,
                                  obj.CoherentKetFreePhaseInfidelityObjective)):
             new_objs.append(obj.CoherentKetFreePhaseInfidelityObjective(
-                o.state_names, n_qubits, Q=o.Q, gview=gview))
+                o.state_names, n_phase, Q=o.Q, gview=gview))
         else:
             new_objs.append(o)
-    return traj, new_objs, (phase_name, n_qubits)
+    # spec: subsystem levels (ket number-operator phases) or qubit count
+    spec = levels if levels is not None else n_phase
+    return traj, new_objs, (phase_name, spec)
 
 
 def _common_problem(qtraj, traj, drive_name, Q, R_u, R_du, R_ddu,
@@ -364,7 +401,7 @@ def SmoothPulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
                        free_phase=False, phase_name: str = "theta",
                        global_bounds=None, calibration_targets=None,
                        sensitivity_cost: float = 1.0,
-                       options=None,
+                       geodesic=None, options=None,
                        extra_objectives=(), extra_constraints=()):
     """Canonical ZOH-pulse collocation problem with smoothness via chained
     derivative variables du, ddu (reference: smooth_pulse_problem.jl:120-298).
@@ -396,7 +433,12 @@ def SmoothPulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
     extra_constraints = list(extra_constraints) \
         + _options_constraints(qtraj, options)
 
-    traj = discretize(qtraj, N, dt_bounds=dt_bounds, state_bound=state_bound)
+    # Geodesic init defaults OFF for free-phase problems: the geodesic
+    # targets the UNPHASED goal, biasing the init against the free-phase
+    # optimum (explicit geodesic= or options.geodesic still wins).
+    geodesic = _opt(geodesic, options, "geodesic", not free_phase)
+    traj = discretize(qtraj, N, dt_bounds=dt_bounds, state_bound=state_bound,
+                      geodesic=geodesic)
     dname = qtraj.drive_name
     traj = traj.add_control_derivatives(
         2, name=dname, bounds=[du_bound, ddu_bound],
@@ -423,7 +465,7 @@ def SplinePulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
                        leakage_value=None,
                        free_phase=False, phase_name: str = "theta",
                        global_bounds=None, calibration_targets=None,
-                       options=None,
+                       geodesic=None, options=None,
                        extra_objectives=(), extra_constraints=()):
     """Spline-pulse problem (reference: spline_pulse_problem.jl:128).
 
@@ -446,7 +488,9 @@ def SplinePulseProblem(qtraj, N=None, *, Q: float = 100.0, R: float = 1e-2,
     extra_constraints = tuple(extra_constraints) \
         + tuple(_options_constraints(qtraj, options))
     pulse = qtraj.pulse
-    traj = discretize(qtraj, N, dt_bounds=dt_bounds, state_bound=state_bound)
+    geodesic = _opt(geodesic, options, "geodesic", not free_phase)
+    traj = discretize(qtraj, N, dt_bounds=dt_bounds, state_bound=state_bound,
+                      geodesic=geodesic)
     dname = qtraj.drive_name
     is_cubic = isinstance(pulse, CubicSplinePulse)
     if not is_cubic:
@@ -510,10 +554,12 @@ def BangBangPulseProblem(qtraj, N=None, *, Q: float = 100.0,
                          R: float = 1e-2, R_bang: float = 1.0,
                          du_bound: float = 1.0, dt_bounds=None,
                          state_bound=1.0, pade_order="taylor",
+                         geodesic: bool = True,
                          extra_objectives=(), extra_constraints=()):
     """L1 penalty on du via exact slack reformulation to promote few-switch
     bang-bang pulses (reference: bang_bang_pulse_problem.jl:147-424)."""
-    traj = discretize(qtraj, N, dt_bounds=dt_bounds, state_bound=state_bound)
+    traj = discretize(qtraj, N, dt_bounds=dt_bounds, state_bound=state_bound,
+                      geodesic=geodesic)
     dname = qtraj.drive_name
     traj = traj.add_control_derivatives(1, name=dname, bounds=[du_bound])
     d = traj.dims[dname]
@@ -530,15 +576,43 @@ def BangBangPulseProblem(qtraj, N=None, *, Q: float = 100.0,
         list(extra_constraints) + [l1], None, 0.0, None)
 
 
-def MinimumTimeProblem(qcp: QuantumControlProblem, *,
+def _update_goal(qtraj, new_goal):
+    """Rebuild a quantum trajectory with a new goal, keeping system,
+    pulse, and initial state (reference: _update_goal,
+    minimum_time_problem.jl:150-162)."""
+    from ..quantum.trajectories import DensityTrajectory
+    if isinstance(qtraj, UnitaryTrajectory):
+        return UnitaryTrajectory(qtraj.system, qtraj.pulse, new_goal,
+                                 times=qtraj.times)
+    if isinstance(qtraj, KetTrajectory):
+        return KetTrajectory(qtraj.system, qtraj.pulse, qtraj.initial,
+                             new_goal, times=qtraj.times)
+    if isinstance(qtraj, DensityTrajectory):
+        return DensityTrajectory(qtraj.system, qtraj.pulse, qtraj.initial,
+                                 new_goal, times=qtraj.times)
+    raise TypeError(
+        f"goal update unsupported for {type(qtraj).__name__}")
+
+
+def MinimumTimeProblem(qcp: QuantumControlProblem, *, goal=None,
                        final_fidelity: float = 0.99, D: float = 100.0,
                        dt_bounds=None):
     """Transform a (solved) problem into a minimum-time problem: add
     D*sum(dt) to the objective and a terminal fidelity inequality
     constraint, warm-started from the current trajectory
-    (reference: minimum_time_problem.jl:84-130)."""
+    (reference: minimum_time_problem.jl:84-130).
+
+    goal: optionally swap the target before constraining (reference
+    `goal` kwarg + `_update_goal`, minimum_time_problem.jl:86,113-118) —
+    e.g. chase a nearby gate from the solved pulse."""
     qtraj = qcp.qtraj
     traj = qcp.traj
+    if goal is not None:
+        qtraj = _update_goal(qtraj, goal)
+        gtable = dict(traj.goal or {})
+        if qtraj.state_name in gtable:
+            gtable[qtraj.state_name] = qtraj.goal
+            traj = traj.replace(goal=gtable)
     if "dt" in traj.frozen:
         raise ValueError(
             "MinimumTimeProblem requires free timesteps: build the base "
@@ -583,8 +657,6 @@ def SamplingProblem(qcp: QuantumControlProblem, systems, weights=None, *,
     (reference: sampling_problem.jl:130)."""
     base_qtraj = qcp.qtraj
     straj = SamplingTrajectory(base_qtraj, systems, weights)
-    from ..quantum.trajectories import discretize as _disc
-    times = np.asarray(qcp.traj.get_times())
     # Rebuild knot data from the solved base trajectory (warm start):
     # replicate the state columns per system, keep controls.
     base_traj = qcp.traj
@@ -630,6 +702,5 @@ def SamplingProblem(qcp: QuantumControlProblem, systems, weights=None, *,
                            intg.TimeConsistencyIntegrator)):
             integrators.append(it)
     params = {"systems": tuple(straj.systems)}
-    del times, _disc
     return QuantumControlProblem(straj, traj, objectives, integrators,
                                  params=params)

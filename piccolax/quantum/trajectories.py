@@ -133,8 +133,12 @@ class UnitaryTrajectory(_QuantumTrajectoryBase):
             goal = diag[:, None] * goal
         return dyn.unitary_fidelity(U_final, goal)
 
-    def rollout(self, pulse=None, n_substeps: int = 1) -> "UnitaryTrajectory":
-        """Re-integrate (optionally with a new pulse) -> fresh trajectory."""
+    def rollout(self, pulse=None, n_substeps: int = 1,
+                method=None) -> "UnitaryTrajectory":
+        """Re-integrate (optionally with a new pulse) -> fresh trajectory.
+
+        method: rollout integrator override (PiccoloOptions.
+        rollout_integrator; None = auto-select by pulse type)."""
         pulse = pulse or self.pulse
         goal = self.embedded_goal if self.subspace is not None else self.goal
         try:
@@ -142,7 +146,7 @@ class UnitaryTrajectory(_QuantumTrajectoryBase):
         except TypeError:
             times = self.times
         return UnitaryTrajectory(self.system, pulse, goal, times=times,
-                                 n_substeps=n_substeps)
+                                 n_substeps=n_substeps, method=method)
 
     def __call__(self, t):
         """Interpolate the cached rollout at time t (piecewise-linear)."""
@@ -192,17 +196,29 @@ class KetTrajectory(_QuantumTrajectoryBase):
         object.__setattr__(self, "psis", psis)
         object.__setattr__(self, "state_name", "psi")
 
-    def fidelity(self):
-        return dyn.fidelity(self.psis[-1], self.goal)
+    def fidelity(self, phases=None, subsystem_levels=None):
+        """|<goal|psi(T)>|^2; with phases, the goal is rotated by
+        number-operator free phases over subsystem_levels (reference:
+        _make_free_phase_ket_goal, smooth_pulse_problem.jl:55-64)."""
+        goal = self.goal
+        if phases is not None:
+            phases = jnp.asarray(phases)
+            lv = tuple(subsystem_levels) if subsystem_levels is not None \
+                else (goal.shape[-1],)
+            ang = dyn.free_phase_angles_levels(phases, lv, goal.shape[-1])
+            goal = jnp.exp(1j * ang) * goal
+        return dyn.fidelity(self.psis[-1], goal)
 
-    def rollout(self, pulse=None, n_substeps: int = 1) -> "KetTrajectory":
+    def rollout(self, pulse=None, n_substeps: int = 1,
+                method=None) -> "KetTrajectory":
         pulse = pulse or self.pulse
         try:
             times = pulse.knot_times()
         except TypeError:
             times = self.times
         return KetTrajectory(self.system, pulse, self.initial, self.goal,
-                             times=times, n_substeps=n_substeps)
+                             times=times, n_substeps=n_substeps,
+                             method=method)
 
     def state_iso(self, times):
         psis = dyn.ket_rollout(self.system, self.pulse, jnp.asarray(times),
@@ -267,7 +283,7 @@ class MultiKetTrajectory(_QuantumTrajectoryBase):
         overlaps = jnp.sum(jnp.conj(goals) * self.psis[-1], axis=-1)
         return jnp.abs(jnp.mean(overlaps)) ** 2
 
-    def rollout(self, pulse=None, n_substeps: int = 1):
+    def rollout(self, pulse=None, n_substeps: int = 1, method=None):
         pulse = pulse or self.pulse
         try:
             times = pulse.knot_times()
@@ -275,7 +291,7 @@ class MultiKetTrajectory(_QuantumTrajectoryBase):
             times = self.times
         return MultiKetTrajectory(self.system, pulse, self.initials,
                                   self.goals, self.weights, times=times,
-                                  n_substeps=n_substeps)
+                                  n_substeps=n_substeps, method=method)
 
     def state_iso(self, times):
         psis = dyn.ket_rollout(self.system, self.pulse, jnp.asarray(times),
@@ -467,9 +483,10 @@ class SamplingTrajectory(_QuantumTrajectoryBase):
             vals.append(qt.fidelity())
         return jnp.sum(self.weights * jnp.stack(vals))
 
-    def rollout(self, pulse=None, n_substeps: int = 1):
-        return SamplingTrajectory(self.base.rollout(pulse, n_substeps),
-                                  self.systems, self.weights)
+    def rollout(self, pulse=None, n_substeps: int = 1, method=None):
+        return SamplingTrajectory(
+            self.base.rollout(pulse, n_substeps, method=method),
+            self.systems, self.weights)
 
 
 # --------------------------------------------------------------------------- #
@@ -495,17 +512,85 @@ def _boundary_or_none(value):
     return np.nan_to_num(v)
 
 
+def _unitary_geodesic(U_goal, s):
+    """Geodesic I -> U_goal on U(n): U(s_k) = expm(s_k * log U_goal).
+
+    Host-side f64 (initialization only)."""
+    import scipy.linalg
+    H = scipy.linalg.logm(np.asarray(U_goal, dtype=complex))
+    return np.stack([scipy.linalg.expm(sk * H) for sk in np.asarray(s)])
+
+
+def _ket_geodesic(psi0, g, s):
+    """Great-circle (slerp) interpolation psi0 -> goal, phase-aligned so
+    <psi0|goal> is real nonnegative along the path."""
+    psi0 = np.asarray(psi0, dtype=complex)
+    g = np.asarray(g, dtype=complex)
+    ov = np.vdot(psi0, g)
+    if abs(ov) > 1e-12:
+        g = g * (np.conj(ov) / abs(ov))
+    theta = np.arccos(np.clip(abs(ov), 0.0, 1.0))
+    if theta < 1e-9:
+        return np.stack([psi0] * len(s))
+    sin_t = np.sin(theta)
+    return np.stack([(np.sin((1.0 - sk) * theta) * psi0
+                      + np.sin(sk * theta) * g) / sin_t
+                     for sk in np.asarray(s)])
+
+
+def _geodesic_state_iso(qtraj, times):
+    """Geodesic initial state guess as iso-vector knot data, or None for
+    trajectory types without a geodesic init (density operators fall back
+    to the rollout, as the reference does).
+
+    reference: PiccoloOptions.geodesic (options.jl:70) — the reference
+    delegates the actual geodesic to its NamedTrajectories initialization;
+    here it is built directly at discretization.
+    """
+    times = np.asarray(times)
+    span = max(float(times[-1] - times[0]), 1e-30)
+    s = (times - times[0]) / span
+    if isinstance(qtraj, UnitaryTrajectory):
+        U_goal = np.asarray(qtraj.goal, dtype=complex)
+        if qtraj.subspace is not None:
+            # embedded goal: zeros on the leakage complement make the
+            # full-space operator singular — geodesic on the subspace
+            # block, identity on the complement (a valid unitary path)
+            comp = np.setdiff1d(np.arange(U_goal.shape[0]),
+                                np.asarray(qtraj.subspace))
+            U_goal = U_goal.copy()
+            U_goal[comp, comp] = 1.0
+        Us = _unitary_geodesic(U_goal, s)
+        return np.stack([np.asarray(iso.operator_to_iso_vec(U)) for U in Us])
+    if isinstance(qtraj, KetTrajectory):
+        psis = _ket_geodesic(qtraj.initial, qtraj.goal, s)
+        return np.stack([np.asarray(iso.ket_to_iso(p)) for p in psis])
+    if isinstance(qtraj, MultiKetTrajectory):
+        cols = []
+        for i in range(qtraj.n_states):
+            psis = _ket_geodesic(np.asarray(qtraj.initials)[i],
+                                 np.asarray(qtraj.goals)[i], s)
+            cols.append(np.stack([np.asarray(iso.ket_to_iso(p))
+                                  for p in psis]))
+        return np.stack(cols, axis=1)                      # [N, K, d]
+    return None
+
+
 def discretize(qtraj, N_or_times=None, *, dt_bounds=None, state_bound=1.0,
-               drive_name=None):
+               drive_name=None, geodesic: bool = False):
     """Convert a quantum trajectory into a knot `Trajectory`.
 
     The state data is sampled from the construction-time rollout, so the
     initial NLP guess is the physics of the initial pulse (reference:
-    named_trajectory_conversion.jl:306-307).
+    named_trajectory_conversion.jl:306-307). With geodesic=True the state
+    knots are instead initialized on the geodesic from the initial state
+    to the goal (reference: PiccoloOptions.geodesic, options.jl:70) —
+    the better init when the seed pulse's rollout ends far from the goal.
     """
     if isinstance(qtraj, SamplingTrajectory):
         base_traj = discretize(qtraj.base, N_or_times, dt_bounds=dt_bounds,
-                               state_bound=state_bound, drive_name=drive_name)
+                               state_bound=state_bound, drive_name=drive_name,
+                               geodesic=geodesic)
         return _replicate_for_sampling(qtraj, base_traj)
 
     pulse = qtraj.pulse
@@ -538,6 +623,10 @@ def discretize(qtraj, N_or_times=None, *, dt_bounds=None, state_bound=1.0,
     # bound at the solution (e.g. X-gate entries) stay strictly interior
     # through the solver's bound_relax. Pass state_bound=None to disable.
     siso = qtraj.state_iso(times)
+    if geodesic:
+        gs = _geodesic_state_iso(qtraj, times)
+        if gs is not None:
+            siso = jnp.asarray(gs)
     if isinstance(qtraj, (MultiKetTrajectory, MultiDensityTrajectory)):
         giso = qtraj.goal_iso()
         for i, sname in enumerate(qtraj.state_names()):

@@ -103,7 +103,8 @@ def test_minimum_time_transform():
 
 def test_integrator_residual_zero_on_rollout():
     # the collocation dynamics residual vanishes on an exact ZOH rollout
-    prob = sx_problem(N=15, T=4.0)
+    # (geodesic init deliberately off: this test checks the rollout init)
+    prob = sx_problem(N=15, T=4.0, geodesic=False)
     nlp, params, Z0, g0, layout = prob.build()
     from piccolax.solver.nlp import nlp_constraint_residuals
     # Z0 state columns come from the rollout of the initial pulse

@@ -74,7 +74,17 @@ def test_variational_solve_reduces_detuning_spread():
     F_plain = _ensemble_min_F(plain.pulse)
     F_robust = _ensemble_min_F(robust.pulse)
     assert F_robust > F_plain, (F_robust, F_plain)
-    # terminal sensitivity norm in the NLP state is small
-    sens = np.asarray(robust.traj["U"][-1][8:])
-    plain_scale = np.linalg.norm(np.asarray(robust.traj["U"][-1][:8]))
-    assert np.linalg.norm(sens) < 2.0 * plain_scale
+    # mechanism check: the sensitivity penalty must shrink the terminal
+    # sensitivity norm vs the SAME variational problem without the
+    # penalty (an absolute bar is brittle — the optimum shifts with the
+    # initialization policy)
+    qtraj0 = px.UnitaryTrajectory(
+        px.VariationalQuantumSystem(np.zeros((2, 2)), _drives(), 1.0,
+                                    H_vars=[ZHALF]),
+        _initial_pulse(), px.GATES["SX"])
+    unpen = px.SmoothPulseProblem(qtraj0, N, Q=100.0, R=1e-2,
+                                  sensitivity_cost=0.0)
+    unpen.solve(max_iter=250, tol=1e-7, verbose=False)
+    sens_pen = np.linalg.norm(np.asarray(robust.traj["U"][-1][8:]))
+    sens_unpen = np.linalg.norm(np.asarray(unpen.traj["U"][-1][8:]))
+    assert sens_pen < 0.9 * sens_unpen, (sens_pen, sens_unpen)
