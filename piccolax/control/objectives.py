@@ -25,6 +25,7 @@ __all__ = [
     "UnitaryInfidelityObjective",
     "UnitaryFreePhaseInfidelityObjective",
     "KetInfidelityObjective",
+    "KetFreePhaseInfidelityObjective",
     "CoherentKetInfidelityObjective",
     "CoherentKetFreePhaseInfidelityObjective",
     "DensityInfidelityObjective",
@@ -123,6 +124,31 @@ class KetInfidelityObjective(_ObjectiveBase):
         if self.base_dim is not None:
             x = x[: self.base_dim]
         F = dyn.fidelity_iso_bounded(x, params["goal"][self.state_name])
+        return _terminal(k, N, self.Q * (1.0 - F))
+
+
+class KetFreePhaseInfidelityObjective(KetInfidelityObjective):
+    """Single-ket infidelity with free number-operator phases on the goal:
+    goal <- diag(exp(i sum_j s_j theta_j)) goal over subsystem_levels
+    (reference: _make_free_phase_ket_goal, smooth_pulse_problem.jl:55-64;
+    objectives.jl:230)."""
+
+    def __init__(self, state_name: str, subsystem_levels, Q: float = 100.0,
+                 gview=None, base_dim=None):
+        super().__init__(state_name, Q, base_dim)
+        self.subsystem_levels = tuple(int(v) for v in subsystem_levels)
+        self.gview = gview
+
+    def stage_cost(self, k, get, g, params, N):
+        x = get(self.state_name)
+        if self.base_dim is not None:
+            x = x[: self.base_dim]
+        goal = params["goal"][self.state_name]
+        m = goal.shape[-1] // 2
+        ang = dyn.free_phase_angles_levels(self.gview(g),
+                                           self.subsystem_levels, m)
+        goal_rot = iso.apply_row_phase_iso(goal, jnp.cos(ang), jnp.sin(ang))
+        F = dyn.fidelity_iso_bounded(x, goal_rot)
         return _terminal(k, N, self.Q * (1.0 - F))
 
 

@@ -114,6 +114,29 @@ def free_phase_diagonal(phases, n_qubits: int, dim: int):
     return jnp.exp(1j * free_phase_angles(phases, n_qubits, dim))
 
 
+def free_phase_angles_levels(phases, subsystem_levels, dim: int):
+    """Number-operator free phases over arbitrary subsystem levels: basis
+    index i decomposes row-major into per-subsystem level indices s_j and
+    the total phase is sum_j s_j * phases[j] — e.g. |e, 2> of a
+    transmon (x) cavity gets theta_1 + 2 theta_2.
+
+    reference: _make_free_phase_ket_goals, smooth_pulse_problem.jl:28-64.
+    Reduces to `free_phase_angles` when every level is 2.
+    """
+    i = jnp.arange(dim)
+    total = jnp.zeros(dim)
+    rem = i
+    levels = tuple(int(v) for v in subsystem_levels)
+    for j, lv in enumerate(levels):
+        stride = 1
+        for v in levels[j + 1:]:
+            stride *= v
+        sj = jnp.minimum(rem // stride, lv - 1)
+        rem = rem % stride
+        total = total + sj * phases[j]
+    return total
+
+
 # -- iso-space fidelity kernels (real arithmetic; TPU production path) ------ #
 # The NLP evaluates these on real iso vectors so the solver traces no
 # complex ops (TPU's f64 x64 rewriter has no f64<->c128 conversions).

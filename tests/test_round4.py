@@ -1,0 +1,203 @@
+"""Round-4 feature tests: honest f32 termination, geodesic init, ket
+free-phase goals, MinimumTimeProblem goal swap, and split-derivative
+equivalence.
+
+- Honest termination: a float32 solve asked for an unreachable tolerance
+  must report stalled=True with converged=False (VERDICT round 3, item 6);
+  a realistic f32 tolerance converges by the real test.
+- Geodesic init (reference: PiccoloOptions.geodesic, options.jl:70).
+- Ket free-phase (reference: _make_free_phase_ket_goal,
+  smooth_pulse_problem.jl:28-64).
+- Goal swap (reference: _update_goal, minimum_time_problem.jl:150-162).
+- Split fast-derivative path vs plain path (advisor round 3).
+"""
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+
+import piccolax as px
+from piccolax.solver.ipm import IPMOptions, solve_nlp
+
+
+def _sx_f32(N=30, T=8.0, seed=0):
+    sys2 = px.QuantumSystem(np.zeros((2, 2)),
+                            [px.PAULIS["X"] / 2, px.PAULIS["Y"] / 2], 1.0)
+    times = np.linspace(0, T, N)
+    us = 0.01 * np.random.default_rng(seed).standard_normal((N, 2))
+    qtraj = px.UnitaryTrajectory(sys2, px.ZeroOrderPulse(us, times),
+                                 px.GATES["SX"])
+    prob = px.SmoothPulseProblem(qtraj, N, Q=100.0, R=1e-2)
+    nlp, params, Z0, g0, layout = prob.build()
+    cast = lambda t: jtu.tree_map(  # noqa: E731
+        lambda x: x.astype(jnp.float32) if hasattr(x, "dtype")
+        and x.dtype == jnp.float64 else x, t)
+    return cast(nlp), cast(params), jnp.asarray(Z0, jnp.float32), layout
+
+
+def test_f32_stall_is_not_converged():
+    """tol=1e-8 is below the f32 accuracy floor: the solve must stop via
+    the stall detector with converged=False (honest semantics), at a
+    near-floor iterate, well before max_iter."""
+    nlp, params, Z0, _ = _sx_f32()
+    st = solve_nlp(nlp, params, Z0,
+                   options=IPMOptions(max_iter=250, tol=1e-8,
+                                      constr_viol_tol=1e-8))
+    assert not bool(st.converged)
+    assert bool(st.stalled)
+    assert int(st.it) < 250
+    assert float(st.kkt_err) < 5e-2     # stopped near the floor, not mid-air
+
+
+def test_f32_realistic_tol_converges():
+    """tol=5e-3 (the honest f32 target) converges via the real tolerance
+    test — no stall heuristic involved — and the solution is good."""
+    nlp, params, Z0, layout = _sx_f32()
+    st = solve_nlp(nlp, params, Z0,
+                   options=IPMOptions(max_iter=150, tol=5e-3,
+                                      constr_viol_tol=5e-3))
+    assert bool(st.converged)
+    assert not bool(st.stalled)
+    # independent f64 rollout of the solved pulse
+    sys2 = px.QuantumSystem(np.zeros((2, 2)),
+                            [px.PAULIS["X"] / 2, px.PAULIS["Y"] / 2], 1.0)
+    N = 30
+    times = np.linspace(0, 8.0, N)
+    us = np.asarray(st.Z[:, layout.slices["u"]], np.float64)
+    from piccolax.quantum.dynamics import unitary_fidelity, unitary_rollout
+    Us = unitary_rollout(sys2, px.ZeroOrderPulse(us, times), times)
+    assert float(unitary_fidelity(Us[-1], jnp.asarray(px.GATES["SX"]))) > 0.999
+
+
+def test_geodesic_init_beats_rollout_on_cnot():
+    """From a near-zero seed pulse (rollout init ~ identity, far from the
+    goal) the geodesic init must reach a better iterate than the rollout
+    init within the same iteration budget (reference default:
+    options.jl:70 geodesic=true)."""
+    from piccolax import benchmarks as bm
+    it_budget = 60
+    F_geo = bm.cnot_problem(N=40, T=12.0, geodesic=True).solve(
+        max_iter=it_budget, tol=1e-7, verbose=False).fidelity()
+    F_roll = bm.cnot_problem(N=40, T=12.0, geodesic=False).solve(
+        max_iter=it_budget, tol=1e-7, verbose=False).fidelity()
+    assert float(F_geo) > float(F_roll), (float(F_geo), float(F_roll))
+    assert float(F_geo) > 0.99
+
+
+def test_geodesic_state_data_endpoints():
+    """Geodesic knot data starts at the identity iso and ends at the goal
+    iso (up to the unitary-log branch)."""
+    from piccolax.quantum.trajectories import discretize
+    sys2 = px.QuantumSystem(np.zeros((2, 2)),
+                            [px.PAULIS["X"] / 2, px.PAULIS["Y"] / 2], 1.0)
+    N = 9
+    times = np.linspace(0, 4.0, N)
+    us = 0.3 * np.random.default_rng(0).standard_normal((N, 2))
+    qtraj = px.UnitaryTrajectory(sys2, px.ZeroOrderPulse(us, times),
+                                 px.GATES["SX"])
+    traj = discretize(qtraj, N, geodesic=True)
+    from piccolax.quantum import isomorphisms as iso
+    U0 = np.asarray(iso.iso_vec_to_operator(jnp.asarray(traj["U"][0])))
+    UT = np.asarray(iso.iso_vec_to_operator(jnp.asarray(traj["U"][-1])))
+    np.testing.assert_allclose(U0, np.eye(2), atol=1e-10)
+    np.testing.assert_allclose(UT, np.asarray(px.GATES["SX"]), atol=1e-10)
+    # interior knots are unitary (the geodesic stays on the manifold)
+    Um = np.asarray(iso.iso_vec_to_operator(jnp.asarray(traj["U"][N // 2])))
+    np.testing.assert_allclose(Um @ Um.conj().T, np.eye(2), atol=1e-10)
+
+
+def test_ket_free_phase_number_operator():
+    """X-only coupling with zero drift locks the reachable relative phase
+    of (|0>, |1>) superpositions to +-pi/2; a goal with relative phase 0.7
+    is unreachable exactly (best fixed F = cos^2((0.7 - pi/2)/2) ~ 0.82)
+    but EXACTLY reachable up to a number-operator free phase — the
+    free-phase solve must recover it (reference: _make_free_phase_ket_goal,
+    smooth_pulse_problem.jl:28-64; objectives.jl:230)."""
+    sx01 = np.zeros((3, 3), complex)
+    sx01[0, 1] = sx01[1, 0] = 0.5
+    sys3 = px.QuantumSystem(np.zeros((3, 3)), [sx01], 1.0)
+    N, T = 25, 5.0
+    times = np.linspace(0, T, N)
+    us = 0.01 * np.random.default_rng(0).standard_normal((N, 1))
+    psi0 = np.array([1.0, 0.0, 0.0], complex)
+    goal = np.array([1.0, np.exp(0.7j), 0.0], complex) / np.sqrt(2)
+
+    def mk():
+        return px.KetTrajectory(sys3, px.ZeroOrderPulse(us, times),
+                                psi0, goal)
+
+    prob = px.SmoothPulseProblem(mk(), N, Q=100.0, R=1e-2, free_phase=(3,))
+    assert prob.traj.global_data["theta"].shape == (1,)
+    prob.solve(max_iter=200, tol=1e-7, verbose=False)
+    F_free = float(prob.fidelity())
+
+    prob_fixed = px.SmoothPulseProblem(mk(), N, Q=100.0, R=1e-2)
+    prob_fixed.solve(max_iter=200, tol=1e-7, verbose=False)
+    F_fixed = float(prob_fixed.fidelity())
+    assert F_free > 0.99, F_free
+    assert F_fixed < 0.9, F_fixed       # the exact phase is unreachable
+    # the optimized phase undoes the goal's relative phase modulo the
+    # reachable +-pi/2 manifold
+    assert F_free > F_fixed + 0.05, (F_free, F_fixed)
+
+
+def test_minimum_time_goal_swap():
+    """MinimumTimeProblem(goal=...) chases a swapped goal from the solved
+    pulse (reference: minimum_time_problem.jl:86,113-118)."""
+    sys2 = px.QuantumSystem(np.zeros((2, 2)),
+                            [px.PAULIS["X"] / 2, px.PAULIS["Y"] / 2], 1.0)
+    N, T = 25, 7.0
+    times = np.linspace(0, T, N)
+    us = 0.01 * np.random.default_rng(0).standard_normal((N, 2))
+    qtraj = px.UnitaryTrajectory(sys2, px.ZeroOrderPulse(us, times),
+                                 px.GATES["SX"])
+    base = px.SmoothPulseProblem(qtraj, N, Q=100.0, R=1e-2,
+                                 dt_bounds=(0.05, 0.5))
+    base.solve(max_iter=150, tol=1e-6, verbose=False)
+    # swap the goal to the full X gate; the SX pulse is the warm start
+    mt = px.MinimumTimeProblem(base, goal=px.GATES["X"],
+                               final_fidelity=0.99, D=10.0)
+    assert np.allclose(np.asarray(mt.qtraj.goal), np.asarray(px.GATES["X"]))
+    mt.solve(max_iter=200, tol=1e-6, verbose=False)
+    assert float(mt.fidelity()) > 0.98      # fidelity vs the NEW goal
+    from piccolax.quantum.dynamics import unitary_fidelity
+    F_new = float(unitary_fidelity(mt.qtraj.Us[-1],
+                                   jnp.asarray(px.GATES["X"])))
+    assert F_new > 0.98
+
+
+def test_split_derivatives_match_plain():
+    """The split-argument fast-derivative path must produce bit-equal (up
+    to float rounding) Jacobians and Hessians vs the plain path (advisor
+    round 3: the scatter/permutation bookkeeping needs a unit test)."""
+    from piccolax.solver.ipm import (_jacobians, _stage_hessians,
+                                     _stage_hessians_split)
+    sys2 = px.QuantumSystem(np.zeros((2, 2)),
+                            [px.PAULIS["X"] / 2, px.PAULIS["Y"] / 2], 1.0)
+    N, T = 12, 4.0
+    times = np.linspace(0, T, N)
+    us = 0.1 * np.random.default_rng(0).standard_normal((N, 2))
+    qtraj = px.UnitaryTrajectory(sys2, px.ZeroOrderPulse(us, times),
+                                 px.GATES["SX"])
+    # free phases exercise the dg columns; free dt exercises nl columns
+    prob = px.SmoothPulseProblem(qtraj, N, Q=100.0, R=1e-2,
+                                 dt_bounds=(0.1, 0.6), free_phase=1)
+    nlp, params, Z0, g0, layout = prob.build()
+    assert nlp.dynamics_split is not None
+    rng = np.random.default_rng(1)
+    Z = jnp.asarray(np.asarray(Z0) + 0.01 * rng.standard_normal(Z0.shape))
+    g = jnp.asarray(0.1 * rng.standard_normal(nlp.dg))
+    lam = jnp.asarray(rng.standard_normal((N, nlp.me + nlp.md)))
+
+    nlp_plain = nlp.replace(dynamics_split=None, stage_cost_split=None,
+                            stage_eq_split=None)
+    J_split = _jacobians(nlp, Z, g, params)
+    J_plain = _jacobians(nlp_plain, Z, g, params)
+    for a, b in zip(J_split, J_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-12, rtol=1e-9)
+    H_split = _stage_hessians_split(nlp, Z, g, params, lam)
+    H_plain = _stage_hessians(nlp, Z, g, params, lam)
+    np.testing.assert_allclose(np.asarray(H_split), np.asarray(H_plain),
+                               atol=1e-11, rtol=1e-8)
