@@ -90,7 +90,8 @@ class BilinearUnitaryIntegrator(_IntegratorBase):
 
     def __init__(self, state_name: str, drive_name: str, levels: int,
                  order="taylor", squarings: int = 2, system_fn=None,
-                 time_name: str = "dt", time_dependent: bool = False):
+                 time_name: str = "dt", time_dependent: bool = False,
+                 t_name: str = "t"):
         self.state_name = state_name
         self.drive_name = drive_name
         self.time_name = time_name
@@ -99,6 +100,7 @@ class BilinearUnitaryIntegrator(_IntegratorBase):
         self.levels = levels
         self.dim = 2 * levels * levels
         self.time_dependent = time_dependent
+        self.t_name = t_name
         # system_fn(params) -> QuantumSystem (default: params["system"])
         self.system_fn = system_fn or (lambda p: p["system"])
 
@@ -109,7 +111,7 @@ class BilinearUnitaryIntegrator(_IntegratorBase):
         # midpoint rule for the time modulation: u is ZOH on [t_k, t_k+dt]
         # but b(t) varies continuously, and the midpoint sample makes the
         # step 2nd-order in dt against the Magnus verification rollout
-        t = get("t")[0] + 0.5 * dt if self.time_dependent else 0.0
+        t = get(self.t_name)[0] + 0.5 * dt if self.time_dependent else 0.0
         Phi = expm_fixed(dt * system.G(u, t), self.order,
                          self.squarings)   # real [2n, 2n]
         n = self.levels
@@ -126,7 +128,8 @@ class BilinearKetIntegrator(_IntegratorBase):
 
     def __init__(self, state_names, drive_name: str, levels: int,
                  order="taylor", squarings: int = 2, system_fn=None,
-                 time_name: str = "dt", time_dependent: bool = False):
+                 time_name: str = "dt", time_dependent: bool = False,
+                 t_name: str = "t"):
         self.state_names = tuple(np.atleast_1d(state_names).tolist()) \
             if isinstance(state_names, (list, tuple, np.ndarray)) \
             else (state_names,)
@@ -137,13 +140,14 @@ class BilinearKetIntegrator(_IntegratorBase):
         self.levels = levels
         self.dim = 2 * levels * len(self.state_names)
         self.time_dependent = time_dependent
+        self.t_name = t_name
         self.system_fn = system_fn or (lambda p: p["system"])
 
     def residual(self, k, get, getp, g, params):
         system = self.system_fn(params)
         u = get(self.drive_name)
         dt = get(self.time_name)[0]
-        t = get("t")[0] + 0.5 * dt if self.time_dependent else 0.0
+        t = get(self.t_name)[0] + 0.5 * dt if self.time_dependent else 0.0
         Phi = expm_fixed(dt * system.G(u, t), self.order,
                          self.squarings)   # real [2n, 2n]
         outs = []
@@ -159,7 +163,8 @@ class BilinearDensityIntegrator(_IntegratorBase):
 
     def __init__(self, state_names, drive_name: str, levels: int,
                  order="taylor", squarings: int = 2, system_fn=None,
-                 time_name: str = "dt", time_dependent: bool = False):
+                 time_name: str = "dt", time_dependent: bool = False,
+                 t_name: str = "t"):
         self.state_names = (state_names,) if isinstance(state_names, str) \
             else tuple(state_names)
         self.drive_name = drive_name
@@ -169,13 +174,14 @@ class BilinearDensityIntegrator(_IntegratorBase):
         self.levels = levels
         self.dim = levels * levels * len(self.state_names)
         self.time_dependent = time_dependent
+        self.t_name = t_name
         self.system_fn = system_fn or (lambda p: p["system"])
 
     def residual(self, k, get, getp, g, params):
         system = self.system_fn(params)
         u = get(self.drive_name)
         dt = get(self.time_name)[0]
-        t = get("t")[0] + 0.5 * dt if self.time_dependent else 0.0
+        t = get(self.t_name)[0] + 0.5 * dt if self.time_dependent else 0.0
         A = system.compact_lindbladian(u, t)
         Phi = expm_fixed(dt * A, order=self.order,
                               squarings=self.squarings)

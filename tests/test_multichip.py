@@ -62,6 +62,37 @@ def test_knot_sharded_kkt_rejects_bad_partition():
         sharded_spd_tridiag_solve(diag, upper, rhs, mesh)
 
 
+def test_knot_backend_ipm_matches_local():
+    """END-TO-END knot-sharded solve: the full IPM with
+    kkt_backend="knot" on a CNOT-class N=64 problem over an 8-device
+    mesh must track the local-backend iterate to float64 tolerance
+    through 40 real iterations (sequence parallelism; the role of
+    Ipopt's sparse factorization, reference src/control/CONTEXT.md:7-14)."""
+    from piccolax import benchmarks as bm
+    from piccolax.solver.ipm import solve_nlp
+
+    prob = bm.cnot_problem(N=64, T=12.0)
+    nlp, params, Z0, g0, _ = prob.build()
+    opts_local = IPMOptions(max_iter=40, tol=1e-6, constr_viol_tol=1e-6)
+    st_local = jax.jit(
+        lambda Z, g: solve_nlp(nlp, params, Z, g, opts_local))(Z0, g0)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("knot",))
+    opts_knot = IPMOptions(max_iter=40, tol=1e-6, constr_viol_tol=1e-6,
+                           kkt_backend="knot")
+    st_knot = jax.jit(
+        lambda Z, g: solve_nlp(nlp, params, Z, g, opts_knot, mesh=mesh))(
+        Z0, g0)
+    assert int(st_knot.it) == int(st_local.it)
+    np.testing.assert_allclose(np.asarray(st_knot.Z),
+                               np.asarray(st_local.Z),
+                               rtol=1e-7, atol=1e-9)
+    # both made real progress on the same trajectory
+    assert float(st_knot.kkt_err) < 1e2
+    np.testing.assert_allclose(float(st_knot.kkt_err),
+                               float(st_local.kkt_err), rtol=1e-4)
+
+
 def test_sharded_batch_solve_matches_single_device():
     """Full SX-gate solves (>= 30 IPM iterations): an 8-way sharded batch
     must match the single-device vmapped batch to float64 tolerance."""
