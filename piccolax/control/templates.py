@@ -623,6 +623,36 @@ def MinimumTimeProblem(qcp: QuantumControlProblem, *, goal=None,
     from ..quantum.trajectories import (MultiKetTrajectory,
                                         UnitaryTrajectory)
     phase_info = getattr(qcp, "_phase_global", None)
+    if isinstance(qtraj, SamplingTrajectory):
+        # Per-sample fidelity constraints, one per sampled system
+        # (reference: minimum_time_problem.jl:466 — "fidelity
+        # constraints for each sample"). State names follow the
+        # _sampling_pieces suffixing: U1, U2, ... / psi1, psi2, ...
+        base = qtraj.base
+        names = [f"{base.state_name}{i + 1}"
+                 for i in range(qtraj.n_systems)]
+        if isinstance(base, UnitaryTrajectory):
+            fid_cons = [cons.FinalUnitaryFidelityConstraint(
+                nm, final_fidelity, subspace=base.subspace)
+                for nm in names]
+        elif isinstance(base, KetTrajectory):
+            fid_cons = [cons.FinalKetFidelityConstraint(nm, final_fidelity)
+                        for nm in names]
+        elif isinstance(base, DensityTrajectory):
+            fid_cons = [cons.FinalDensityFidelityConstraint(
+                nm, final_fidelity) for nm in names]
+        else:
+            raise TypeError(
+                f"MinimumTimeProblem: unsupported sampling base "
+                f"{type(base).__name__}")
+        objectives = list(qcp.objectives) + [obj.MinimumTimeObjective(D)]
+        constraints = list(qcp.constraints) + fid_cons
+        out = QuantumControlProblem(qtraj, traj, objectives,
+                                    qcp.integrators, constraints,
+                                    params=qcp.extra_params)
+        if phase_info is not None:
+            out._phase_global = phase_info
+        return out
     if isinstance(qtraj, UnitaryTrajectory):
         if phase_info is not None:
             fid_con = cons.FinalUnitaryFreePhaseFidelityConstraint(

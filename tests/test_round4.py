@@ -201,3 +201,35 @@ def test_split_derivatives_match_plain():
     H_plain = _stage_hessians(nlp, Z, g, params, lam)
     np.testing.assert_allclose(np.asarray(H_split), np.asarray(H_plain),
                                atol=1e-11, rtol=1e-8)
+
+
+def test_minimum_time_on_sampling_problem():
+    """MinimumTimeProblem wraps a SamplingProblem with one fidelity
+    constraint per sampled system (reference: minimum_time_problem.jl
+    testitem "MinimumTimeProblem with SamplingTrajectory")."""
+    N, T = 25, 6.0
+    times = np.linspace(0, T, N)
+    rng = np.random.default_rng(0)
+    sys_nom = px.QuantumSystem(0.1 * px.PAULIS["Z"],
+                               [px.PAULIS["X"], px.PAULIS["Y"]], 1.0)
+    sys_pert = px.QuantumSystem(0.12 * px.PAULIS["Z"],
+                                [px.PAULIS["X"], px.PAULIS["Y"]], 1.0)
+    pulse = px.ZeroOrderPulse(0.05 * rng.standard_normal((N, 2)), times)
+    qtraj = px.UnitaryTrajectory(sys_nom, pulse, px.GATES["X"])
+    qcp = px.SmoothPulseProblem(qtraj, N, Q=100.0, R=1e-2,
+                                dt_bounds=(0.02, 0.5))
+    qcp.solve(max_iter=100, tol=1e-7, verbose=False)
+
+    samp = px.SamplingProblem(qcp, [sys_nom, sys_pert])
+    samp.solve(max_iter=150, tol=1e-7, verbose=False)
+    T_before = float(np.sum(np.asarray(samp.traj.get_timesteps())[:-1]))
+
+    mt = px.MinimumTimeProblem(samp, final_fidelity=0.90, D=50.0)
+    from piccolax.control import constraints as cons
+    fid_cons = [c for c in mt.constraints
+                if isinstance(c, cons.FinalUnitaryFidelityConstraint)]
+    assert len(fid_cons) == 2          # one per sampled system
+    mt.solve(max_iter=100, tol=1e-6, verbose=False)
+    T_after = float(np.sum(np.asarray(mt.traj.get_timesteps())[:-1]))
+    assert T_after <= T_before * 1.05, (T_after, T_before)
+    assert float(mt.fidelity()) > 0.88
