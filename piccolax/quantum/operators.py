@@ -147,7 +147,20 @@ class EmbeddedOperator:
             subsystem_levels = [subsystem_levels]
         total = int(np.prod(subsystem_levels))
         if subspace is None:
-            subspace = range(subspace_operator.shape[0])
+            if len(subsystem_levels) > 1:
+                # Composite default: the operator is a qubit-level gate
+                # acting on every subsystem, each contributing a (0, 1)
+                # qubit subspace (reference:
+                # embedded_operators.jl:142-152).
+                n = len(subsystem_levels)
+                assert subspace_operator.shape[0] == 2 ** n, (
+                    f"cannot infer subspace: operator dim "
+                    f"{subspace_operator.shape[0]} != 2^{n}; pass "
+                    f"subspace= explicitly")
+                subspace = get_subspace_indices([[0, 1]] * n,
+                                                subsystem_levels)
+            else:
+                subspace = range(subspace_operator.shape[0])
         subspace = tuple(int(s) for s in subspace)
         object.__setattr__(self, "operator",
                            embed(subspace_operator, subspace, total))
