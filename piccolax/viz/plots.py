@@ -24,6 +24,11 @@ __all__ = [
     "plot_weyl_trajectory",
     "animate_pulse",
     "animate_populations",
+    "animate_bloch",
+    "animate_wigner",
+    "rydberg_populations",
+    "plot_rydberg_chain",
+    "animate_rydberg_chain",
     "LivePulsePlot",
 ]
 
@@ -187,24 +192,49 @@ def plot_bloch_trajectory(qtraj):
     return fig
 
 
+def _wigner_grid(rho, xs):
+    """W(x, p) over a grid via the displaced-parity formula.
+
+    rho is zero-padded so the displacement operators at the grid edges
+    are accurate — D(alpha) on a space truncated near the state's own
+    support produces O(1) artifacts for |alpha| beyond a few photons.
+    """
+    rho = np.asarray(rho)
+    n = rho.shape[0]
+    from scipy.linalg import expm as _expm
+
+    r_max = np.sqrt(2.0) * float(np.max(np.abs(xs)))
+    n_pad = max(n, int(np.ceil((r_max + 2.0) ** 2)))
+    rho_p = np.zeros((n_pad, n_pad), dtype=complex)
+    rho_p[:n, :n] = rho
+    a = np.diag(np.sqrt(np.arange(1, n_pad)), 1)
+    parity = (-1.0) ** np.arange(n_pad)
+    X, P = np.meshgrid(xs, xs)                     # [g, g]
+    alphas = (X + 1j * P).ravel() / np.sqrt(2)
+
+    import jax
+    import jax.numpy as jnp
+
+    ad, aj = jnp.asarray(a.conj().T), jnp.asarray(a)
+    rho_j, par = jnp.asarray(rho_p), jnp.asarray(parity)
+
+    def w_at(alpha):
+        D = jax.scipy.linalg.expm(alpha * ad - jnp.conj(alpha) * aj)
+        # Tr[rho D diag(parity) D^dag] without forming the product
+        M = D.conj().T @ rho_j @ D
+        return (2 / jnp.pi) * jnp.real(jnp.sum(jnp.diag(M) * par))
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        vals = jax.jit(jax.vmap(w_at))(jnp.asarray(alphas))
+    return np.asarray(vals).reshape(len(xs), len(xs))
+
+
 def plot_wigner(rho, *, xrange=(-4, 4), n_grid: int = 101):
     """Wigner quasi-probability of a density matrix via the displaced-parity
     formula (reference: quantum_toolbox.jl plot_wigner)."""
     plt = _mpl()
-    rho = np.asarray(rho)
-    n = rho.shape[0]
     xs = np.linspace(*xrange, n_grid)
-    from scipy.linalg import expm as _expm
-
-    a = np.diag(np.sqrt(np.arange(1, n)), 1)
-    parity = np.diag((-1.0) ** np.arange(n))
-    W = np.zeros((n_grid, n_grid))
-    for i, x in enumerate(xs):
-        for j, p in enumerate(xs):
-            alpha = (x + 1j * p) / np.sqrt(2)
-            D = _expm(alpha * a.conj().T - np.conj(alpha) * a)
-            W[j, i] = (2 / np.pi) * np.real(
-                np.trace(rho @ D @ parity @ D.conj().T))
+    W = _wigner_grid(rho, xs)
     fig, ax = plt.subplots(figsize=(5, 4.4))
     vmax = np.abs(W).max()
     im = ax.pcolormesh(xs, xs, W, cmap="RdBu_r", vmin=-vmax, vmax=vmax)
@@ -339,6 +369,165 @@ def animate_populations(qtraj, path=None, *, fps: int = 20):
         return bars
 
     anim = FuncAnimation(fig, update, frames=len(times),
+                         interval=1000 // fps, blit=False)
+    if path is not None:
+        anim.save(path, writer="pillow", fps=fps)
+    return anim
+
+
+def animate_bloch(qtraj_or_psis, path=None, *, fps: int = 20,
+                  stride: int = 1):
+    """Animate a 2-level ket's Bloch-sphere path as it evolves
+    (reference: PiccoloQuantumToolboxExt.jl:145-233 animate_bloch —
+    Makie recording replaced by a matplotlib FuncAnimation)."""
+    plt = _mpl()
+    from matplotlib.animation import FuncAnimation
+
+    from ..quantum.gates import PAULIS
+
+    psis = np.asarray(getattr(qtraj_or_psis, "psis", qtraj_or_psis))
+    xyz = []
+    for psi in psis[::stride]:
+        rho = np.outer(psi, psi.conj())
+        xyz.append([np.real(np.trace(rho @ PAULIS[p]))
+                    for p in ("X", "Y", "Z")])
+    xyz = np.array(xyz)
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(projection="3d")
+    u, v = np.mgrid[0:2 * np.pi:40j, 0:np.pi:20j]
+    ax.plot_wireframe(np.cos(u) * np.sin(v), np.sin(u) * np.sin(v),
+                      np.cos(v), color="lightgray", lw=0.3)
+    (trail,) = ax.plot([], [], [], lw=2)
+    head = ax.scatter([], [], [], color="red", s=40)
+
+    def update(i):
+        trail.set_data(xyz[: i + 1, 0], xyz[: i + 1, 1])
+        trail.set_3d_properties(xyz[: i + 1, 2])
+        head._offsets3d = ([xyz[i, 0]], [xyz[i, 1]], [xyz[i, 2]])
+        return trail, head
+
+    anim = FuncAnimation(fig, update, frames=len(xyz),
+                         interval=1000 // fps, blit=False)
+    if path is not None:
+        anim.save(path, writer="pillow", fps=fps)
+    return anim
+
+
+def animate_wigner(rhos, path=None, *, fps: int = 10, xrange=(-4, 4),
+                   n_grid: int = 61):
+    """Animate the Wigner function over a sequence of density matrices
+    (e.g. a DensityTrajectory's rhos; reference:
+    PiccoloQuantumToolboxExt.jl:236-349 animate_wigner)."""
+    plt = _mpl()
+    from matplotlib.animation import FuncAnimation
+
+    rhos = [np.asarray(r) for r in
+            (getattr(rhos, "rhos", rhos))]
+    xs = np.linspace(*xrange, n_grid)
+    Ws = [_wigner_grid(r, xs) for r in rhos]
+    vmax = max(np.abs(W).max() for W in Ws)
+    fig, ax = plt.subplots(figsize=(5, 4.4))
+    im = ax.pcolormesh(xs, xs, Ws[0], cmap="RdBu_r", vmin=-vmax,
+                       vmax=vmax)
+    fig.colorbar(im, ax=ax, label="W(x, p)")
+    ax.set_xlabel("x")
+    ax.set_ylabel("p")
+
+    def update(i):
+        im.set_array(Ws[i].ravel())
+        ax.set_title(f"frame {i}")
+        return (im,)
+
+    anim = FuncAnimation(fig, update, frames=len(Ws),
+                         interval=1000 // fps, blit=False)
+    if path is not None:
+        anim.save(path, writer="pillow", fps=fps)
+    return anim
+
+
+def rydberg_populations(psi, N: int):
+    """Per-atom Rydberg (|1>) population of an N-atom chain state
+    (reference: visualizations/systems/rydberg_chain.jl:
+    rydberg_populations)."""
+    psi = np.asarray(psi)
+    probs = np.abs(psi) ** 2
+    pops = np.zeros(N)
+    for idx in range(2 ** N):
+        for i in range(N):
+            if (idx >> (N - 1 - i)) & 1:
+                pops[i] += probs[idx]
+    return pops
+
+
+def plot_rydberg_chain(N: int, distance: float, *,
+                       C: float = 862690 * 2 * np.pi,
+                       cutoff_order: int = 1, populations=None,
+                       ax=None):
+    """Draw a 1D chain of N atoms with spacing `distance` (um):
+    interaction edges up to `cutoff_order` neighbors with thickness
+    proportional to C / r^6, atoms colored by Rydberg population when
+    `populations` is given (reference:
+    visualizations/systems/rydberg_chain.jl: plot_rydberg_chain)."""
+    plt = _mpl()
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(1.2 * N, 2.0))
+    else:
+        fig = ax.figure
+    pos = distance * np.arange(N)
+    nn = C / distance ** 6
+    for gap in range(1, cutoff_order + 1):
+        r = distance * gap
+        lw = (C / r ** 6) / nn * 5.0
+        for i in range(N - gap):
+            ax.plot([pos[i], pos[i + gap]], [0.0, 0.0], color="gray",
+                    lw=lw, zorder=1, alpha=0.7)
+    if populations is None:
+        colors = ["tab:blue"] * N
+    else:
+        populations = np.clip(np.asarray(populations, float), 0.0, 1.0)
+        cmap = plt.get_cmap("coolwarm")
+        colors = [cmap(p) for p in populations]
+        sm = plt.cm.ScalarMappable(cmap=cmap,
+                                   norm=plt.Normalize(0.0, 1.0))
+        fig.colorbar(sm, ax=ax, label="Rydberg population",
+                     fraction=0.08)
+    ax.scatter(pos, np.zeros(N), s=600, c=colors, zorder=2,
+               edgecolors="black")
+    for i, x in enumerate(pos):
+        ax.annotate(str(i + 1), (x, 0.0), ha="center", va="center",
+                    zorder=3, fontsize=9)
+    ax.set_xlabel("Position (um)")
+    ax.set_yticks([])
+    ax.set_ylim(-1, 1)
+    for side in ("top", "right", "left"):
+        ax.spines[side].set_visible(False)
+    fig.tight_layout()
+    return fig
+
+
+def animate_rydberg_chain(qtraj_or_psis, N: int, distance: float,
+                          path=None, *, fps: int = 10, stride: int = 1,
+                          C: float = 862690 * 2 * np.pi,
+                          cutoff_order: int = 1):
+    """Animate per-atom Rydberg populations along a ket trajectory
+    (reference: rydberg_chain.jl: animate_rydberg_chain)."""
+    plt = _mpl()
+    from matplotlib.animation import FuncAnimation
+
+    psis = np.asarray(getattr(qtraj_or_psis, "psis", qtraj_or_psis))
+    pops = [rydberg_populations(psi, N) for psi in psis[::stride]]
+    fig, ax = plt.subplots(figsize=(1.2 * N, 2.0))
+    cmap = plt.get_cmap("coolwarm")
+    plot_rydberg_chain(N, distance, C=C, cutoff_order=cutoff_order,
+                       populations=pops[0], ax=ax)
+    scat = [c for c in ax.collections if np.asarray(c.get_offsets()).shape[0] == N][0]
+
+    def update(i):
+        scat.set_color([cmap(p) for p in np.clip(pops[i], 0, 1)])
+        ax.set_title(f"frame {i}")
+        return (scat,)
+
+    anim = FuncAnimation(fig, update, frames=len(pops),
                          interval=1000 // fps, blit=False)
     if path is not None:
         anim.save(path, writer="pillow", fps=fps)

@@ -87,3 +87,47 @@ def test_live_pulse_plot_callback():
     assert its == sorted(its)
     anim = live.animate()                            # in-memory animation
     assert anim is not None
+
+
+def test_bloch_wigner_animations():
+    """Round-4 viz completeness: Bloch/Wigner animations
+    (reference: PiccoloQuantumToolboxExt.jl:145-349)."""
+    pytest.importorskip("matplotlib")
+    sysq = px.QuantumSystem(0.5 * px.PAULIS["Z"], [px.PAULIS["X"]], 1.0)
+    times = np.linspace(0, 3.0, 12)
+    pulse = px.ZeroOrderPulse(
+        0.3 * np.ones((12, 1)), times)
+    kt = px.KetTrajectory(sysq, pulse,
+                          np.array([1.0, 0.0], complex),
+                          np.array([0.0, 1.0], complex))
+    anim = viz.animate_bloch(kt, stride=3)
+    assert anim is not None
+
+    k0 = px.quantum.coherent_ket(1.0, 6)
+    k1 = px.quantum.coherent_ket(-1.0, 6)
+    rhos = [np.outer(k, k.conj()) for k in (k0, k1)]
+    anim = viz.animate_wigner(rhos, n_grid=21)
+    assert anim is not None
+
+
+def test_rydberg_chain_plots():
+    """Rydberg chain plot family (reference:
+    visualizations/systems/rydberg_chain.jl)."""
+    pytest.importorskip("matplotlib")
+    # populations: |10> on 2 atoms -> atom 1 excited, atom 2 ground
+    psi = np.zeros(4, complex)
+    psi[2] = 1.0
+    pops = viz.rydberg_populations(psi, 2)
+    np.testing.assert_allclose(pops, [1.0, 0.0], atol=1e-12)
+
+    fig = viz.plot_rydberg_chain(3, 8.7, populations=[0.1, 0.9, 0.5])
+    assert fig is not None
+
+    sysr = px.quantum.RydbergChainSystem(N=2)
+    times = np.linspace(0, 0.1, 8)
+    pulse = px.ZeroOrderPulse(0.1 * np.ones((8, sysr.n_drives)), times)
+    psi0 = np.zeros(4, complex)
+    psi0[0] = 1.0
+    ktr = px.KetTrajectory(sysr, pulse, psi0, psi)
+    anim = viz.animate_rydberg_chain(ktr, 2, 8.7, stride=2)
+    assert anim is not None
