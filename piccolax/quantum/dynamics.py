@@ -450,10 +450,29 @@ def rollout_with_scipy(system, pulse, times, initial=None, *,
         y0 = np.asarray(initial, dtype=complex).reshape(-1)
         shape = (n,) if y0.size == n else (n, y0.size // n)
 
-    def rhs(t, y):
-        u = np.asarray(pulse(t))
-        H = np.asarray(system.H(u, t))
-        return (-1j * H @ y.reshape(shape)).reshape(-1)
+    dissipators = tuple(getattr(system, "dissipators", ()) or ())
+    lindblad = bool(dissipators) and initial is not None \
+        and np.asarray(initial).shape == (n, n)
+
+    if lindblad:
+        # density-matrix Lindblad RHS (independent of the compact-iso
+        # production path; same role as the unitary branch)
+        def rhs(t, y):
+            u = np.asarray(pulse(t))
+            H = np.asarray(system.H(u, t))
+            rho = y.reshape(shape)
+            drho = -1j * (H @ rho - rho @ H)
+            for dis in dissipators:
+                L = np.asarray(dis.operator(u))
+                LdL = L.conj().T @ L
+                drho = drho + L @ rho @ L.conj().T \
+                    - 0.5 * (LdL @ rho + rho @ LdL)
+            return drho.reshape(-1)
+    else:
+        def rhs(t, y):
+            u = np.asarray(pulse(t))
+            H = np.asarray(system.H(u, t))
+            return (-1j * H @ y.reshape(shape)).reshape(-1)
 
     # integrate interval-by-interval: knot times are discontinuity points
     # of ZOH controls (the tstops discipline of the reference rollouts)

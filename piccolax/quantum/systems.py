@@ -33,6 +33,7 @@ __all__ = [
     "DriftTerm",
     "LinearDrive",
     "NonlinearDrive",
+    "PolarCoeff",
     "ModulatedDrive",
     "LinearDissipator",
     "NonlinearDissipator",
@@ -141,6 +142,36 @@ class NonlinearDrive:
     @property
     def time_dependent(self) -> bool:
         return False
+
+
+class PolarCoeff:
+    """Hashable amp * cos/sin(phase) coefficient over the control vector
+    — the polar (amplitude, phase) drive parameterization (reference:
+    drives.jl nonlinear coefficients; see also the radial-MS
+    _AmpPhaseCoeff in templates/ions.py)."""
+
+    def __init__(self, amp_index: int, phase_index: int,
+                 quadrature: str = "cos"):
+        assert quadrature in ("cos", "sin")
+        self.amp_index = amp_index
+        self.phase_index = phase_index
+        self.quadrature = quadrature
+
+    def __call__(self, u):
+        amp = u[self.amp_index]
+        phase = u[self.phase_index]
+        trig = jnp.cos(phase) if self.quadrature == "cos" \
+            else jnp.sin(phase)
+        return amp * trig
+
+    def __hash__(self):
+        return hash(("polar", self.amp_index, self.phase_index,
+                     self.quadrature))
+
+    def __eq__(self, o):
+        return isinstance(o, PolarCoeff) and \
+            (o.amp_index, o.phase_index, o.quadrature) == \
+            (self.amp_index, self.phase_index, self.quadrature)
 
 
 @pytree_dataclass

@@ -75,3 +75,26 @@ def test_ket_rollout_matches_scipy():
     psis = np.asarray(dyn.ket_rollout(sys2, pulse, times, psi0))
     psis_sp = dyn.rollout_with_scipy(sys2, pulse, times, np.asarray(psi0))
     assert np.max(np.abs(psis - psis_sp)) < 1e-8
+
+
+def test_scipy_lindblad_cross_check():
+    """rollout_with_scipy integrates the density-matrix Lindblad RHS
+    when handed an OpenQuantumSystem + rho0 — fully independent of the
+    compact-iso production engine."""
+    import piccolax as px
+    from piccolax.quantum.systems import LinearDissipator
+
+    a = px.quantum.annihilate(2)
+    sys_o = px.OpenQuantumSystem(
+        0.3 * px.PAULIS["Z"], [px.PAULIS["X"]], 1.0,
+        dissipators=[LinearDissipator(a, 0.05)])
+    times = np.linspace(0, 4.0, 20)
+    pulse = px.ZeroOrderPulse(
+        0.2 * np.random.default_rng(0).standard_normal((20, 1)), times)
+    rho0 = np.array([[1.0, 0], [0, 0]], complex)
+    rhos_engine = np.asarray(px.density_rollout(sys_o, pulse, times, rho0))
+    rhos_scipy = dyn.rollout_with_scipy(sys_o, pulse, times, rho0)
+    np.testing.assert_allclose(rhos_engine, rhos_scipy, atol=1e-6)
+    # trace preserved by both
+    np.testing.assert_allclose(
+        np.real(np.trace(rhos_scipy, axis1=1, axis2=2)), 1.0, atol=1e-9)
