@@ -61,6 +61,12 @@ def qutrit_x_problem(N: int = 100, T: float = 20.0, seed: int = 0,
     leak_idx = get_iso_vec_leakage_indices([0, 1], 3)
     kw.setdefault("Q", 100.0)
     kw.setdefault("R", 1e-2)
+    # No +-1 state box (reference PiccoloOptions bound_state=false): the
+    # embedded-X goal has unitary entries EXACTLY at +-1, so a state box
+    # puts the solution ON the bound and the barrier strangles the
+    # endgame (measured round 5: dual-residual floor 1.3 -> 0.2 and the
+    # barrier parameter unsticks once the box is dropped).
+    kw.setdefault("state_bound", None)
     return SmoothPulseProblem(qtraj, N, leakage_indices=leak_idx,
                               leakage_cost=leakage_cost, **kw)
 
@@ -83,6 +89,9 @@ def cnot_problem(N: int = 200, T: float = 50.0, g: float = 0.1,
     qtraj = UnitaryTrajectory(sys, pulse, GATES["CX"])
     kw.setdefault("Q", 100.0)
     kw.setdefault("R", 1e-2)
+    # CX also has unitary entries exactly at +-1 — drop the state box
+    # (see qutrit_x_problem; reference bound_state=false).
+    kw.setdefault("state_bound", None)
     return SmoothPulseProblem(qtraj, N, **kw)
 
 

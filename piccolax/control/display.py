@@ -15,7 +15,8 @@ import numpy as np
 
 from ..solver.nlp import nlp_constraint_residuals
 
-__all__ = ["ProblemInspection", "inspect", "show_problem"]
+__all__ = ["ProblemInspection", "inspect", "show_problem",
+           "pulse_sparkline"]
 
 
 @dataclasses.dataclass
@@ -92,6 +93,68 @@ def inspect(problem) -> ProblemInspection:
     )
 
 
-def show_problem(problem) -> None:
-    """Rich tree view of the problem (reference: display/show.jl:59)."""
+_SPARK = "▁▂▃▄▅▆▇█"
+
+
+def pulse_sparkline(us, width: int = 64, labels=None) -> str:
+    """In-terminal pulse plot: one unicode sparkline strip per drive
+    (the reference's UnicodePlots tier, display/plot.jl:2-12). us is
+    [N, n_drives]; resampled to `width` columns, normalized per drive."""
+    us = np.asarray(us, dtype=float)
+    if us.ndim == 1:
+        us = us[:, None]
+    N, nd = us.shape
+    cols = np.linspace(0, N - 1, min(width, N)).round().astype(int)
+    lines = []
+    for d in range(nd):
+        u = us[cols, d]
+        lo, hi = u.min(), u.max()
+        span = hi - lo if hi > lo else 1.0
+        idx = ((u - lo) / span * (len(_SPARK) - 1)).round().astype(int)
+        strip = "".join(_SPARK[i] for i in idx)
+        label = labels[d] if labels else f"u{d + 1}"
+        lines.append(f"  {label:>4s} [{lo:+.3f}, {hi:+.3f}] {strip}")
+    return "\n".join(lines)
+
+
+def _render_standard(problem) -> str:
+    """Standard tier: structure only — no NLP build, no live values
+    (reference: show.jl:59 header + component tree)."""
+    traj = problem.traj
+    dts = np.asarray(traj.get_timesteps())
+    lines = [f"QuantumControlProblem (N={traj.N} knots, "
+             f"T={float(np.asarray(traj.get_times())[-1]):.4g})"]
+    lines.append("├─ components")
+    for nm, d in traj.dims.items():
+        lines.append(f"│   ├─ {nm}: dim {d}")
+    if traj.global_data:
+        lines.append("├─ globals")
+        for nm, v in traj.global_data.items():
+            lines.append(f"│   ├─ {nm}: dim {np.asarray(v).size}")
+    lines.append(f"├─ objectives: "
+                 + ", ".join(type(o).__name__ for o in problem.objectives))
+    lines.append(f"├─ integrators: "
+                 + ", ".join(type(i).__name__ for i in problem.integrators))
+    if problem.constraints:
+        lines.append(f"├─ constraints: "
+                     + ", ".join(type(c).__name__
+                                 for c in problem.constraints))
+    lines.append(f"└─ dt range: [{dts.min():.4g}, {dts.max():.4g}]")
+    return "\n".join(lines)
+
+
+def show_problem(problem, detailed: bool = False) -> None:
+    """Tree view of the problem (reference: display/show.jl:59).
+
+    detailed=False (the "standard" tier): structure only — cheap, no
+    NLP build. detailed=True: full inspection with live objective-term
+    values, constraint violation, fidelity, and an in-terminal pulse
+    sparkline (the reference's UnicodePlots tier)."""
+    if not detailed:
+        print(_render_standard(problem))
+        return
     print(inspect(problem).render())
+    dname = getattr(problem.qtraj, "drive_name", None)
+    if dname and dname in problem.traj.data:
+        print("└─ pulse")
+        print(pulse_sparkline(problem.traj.data[dname]))

@@ -68,37 +68,34 @@ def build_nlp(traj: Trajectory, objectives, integrators, eq_groups=(),
             g_lo[sl] = b[:, 0]
             g_hi[sl] = b[:, 1]
 
-    # Equality rows: boundary pins + constraint groups
+    # Boundary pins: Ipopt-style fixed-variable treatment
+    # (fixed_variable_treatment = make_parameter). Pinned coordinates are
+    # REMOVED from the optimization — the IPM forces their step to zero,
+    # drops their barrier terms, and injects the pinned values into Z0 —
+    # instead of being carried as equality rows on every knot's KKT
+    # block. On the SX benchmark this halves the per-knot constraint row
+    # count (m = 24 -> 12); block factorization cost scales ~m^2-m^3.
     groups = []
-    eq_targets = {}
+    pin_mask = np.zeros((N, dz))
+    pin_val = np.zeros((N, dz))
     for kind, table in (("init", traj.initial), ("fin", traj.final)):
         for name, val in table.items():
             if name in traj.frozen:
                 continue
             v = np.asarray(val, dtype=float)
-            d = traj.dims[name]
-            mask = np.zeros((N, d))
             row = 0 if kind == "init" else N - 1
-            mask[row] = np.isfinite(v).astype(float)
-            if not mask.any():
+            fin = np.isfinite(v)
+            if not fin.any():
                 continue
-            # Drop box bounds on pinned entries at the pinned knot — an
-            # equality pin sitting exactly on a bound makes the barrier
-            # KKT singular (gap -> 0).
+            # Drop box bounds on pinned entries at the pinned knot (a
+            # fixed variable has no barrier).
             sl = layout.slices[name]
-            cols = np.arange(sl.start, sl.stop)[np.isfinite(v)]
+            cols = np.arange(sl.start, sl.stop)[fin]
             lo[row, cols] = -np.inf
             hi[row, cols] = np.inf
-            key = f"{kind}_{name}"
-            eq_targets[key] = jnp.asarray(np.nan_to_num(v))
-
-            def make_fn(nm, ky):
-                def fn(k, get, gview, g, p):
-                    return get(nm) - p["eq"][ky]
-                return fn
-
-            groups.append((d, mask, make_fn(name, key)))
-    params["eq"] = eq_targets
+            pin_mask[row, cols] = 1.0
+            pin_val[row, cols] = v[fin]
+    params["pin_val"] = jnp.asarray(pin_val)
     for grp in eq_groups:
         groups.append((grp.dim, np.asarray(grp.mask, dtype=float), grp.fn))
 
@@ -216,6 +213,7 @@ def build_nlp(traj: Trajectory, objectives, integrators, eq_groups=(),
         dynamics=dynamics if md else None,
         stage_eq=stage_eq if me else None,
         lo=lo, hi=hi, g_lo=g_lo, g_hi=g_hi, eq_mask=eq_mask,
+        pin_mask=pin_mask,
         dynamics_split=dynamics_split if split_ok else None,
         stage_cost_split=stage_cost_split if split_ok else None,
         stage_eq_split=(stage_eq_split if (split_ok and me) else None),

@@ -220,7 +220,7 @@ def _maybe_display(prob, options):
               f"constraints={len(prob.constraints)}")
         return prob
     from .display import show_problem
-    show_problem(prob)
+    show_problem(prob, detailed=(options.display == "detailed"))
     return prob
 
 

@@ -49,6 +49,7 @@ from ..solver.kkt import chol_inv_factor, cr_factor, cr_solve
 
 __all__ = [
     "sharded_spd_tridiag_solve",
+    "batched_sharded_spd_tridiag_solve",
     "spd_tridiag_solve_ref",
     "knot_condensed_factor",
     "knot_condensed_solve",
@@ -270,6 +271,48 @@ def knot_condensed_solve(factors, rhs, mesh: Mesh, axis_name: str = "knot",
         in_specs=(P(axis_name), P(), P(axis_name)),
         out_specs=P(axis_name), check_vma=False)
     x = fn(sharded, replicated, rhs)
+    return x[..., 0] if squeeze else x
+
+
+def batched_sharded_spd_tridiag_solve(diag, upper, rhs, mesh: Mesh,
+                                      batch_axis: str = "batch",
+                                      knot_axis: str = "knot"):
+    """2D (batch x knot) composition of the SPIKE-partitioned solve.
+
+    Many long-horizon KKT systems solved at once on a 2D device mesh:
+    the BATCH axis is embarrassingly parallel (each batch shard holds
+    B/nb systems), and within each batch shard the KNOT axis runs the
+    same SPIKE partition as `sharded_spd_tridiag_solve` — the body is
+    simply vmapped over the local batch, so the knot collectives
+    (all_gather + 2 ppermutes) batch across systems into single larger
+    messages. This is the BASELINE's batch x long-horizon composition
+    (SURVEY.md section 5.7) at the KKT layer, where all communication
+    lives.
+
+    diag [B, N, m, m], upper [B, N-1, m, m], rhs [B, N, m(, r)].
+    B divisible by mesh's batch_axis size; N divisible by knot_axis
+    size with N/n_knot >= 3.
+    """
+    squeeze = rhs.ndim == 3
+    if squeeze:
+        rhs = rhs[..., None]
+    B, N, m, _ = diag.shape
+    nb = mesh.shape[batch_axis]
+    nk = mesh.shape[knot_axis]
+    if B % nb:
+        raise ValueError(f"B={B} must divide over n_batch={nb}")
+    if N % nk or N // nk < 3:
+        raise ValueError(
+            f"N={N} must be divisible by n_knot={nk} with chunks >= 3")
+    upper_p = jnp.concatenate(
+        [upper, jnp.zeros((B, 1, m, m), upper.dtype)], axis=1)
+
+    body = functools.partial(_local_partition_solve, axis_name=knot_axis)
+    spec = P(batch_axis, knot_axis)
+    fn = jax.shard_map(lambda d, u, r: jax.vmap(body)(d, u, r),
+                       mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    x = fn(diag, upper_p, rhs)
     return x[..., 0] if squeeze else x
 
 

@@ -117,6 +117,36 @@ class IPMOptions:
     # factorization + solves are pure overhead; the SOC-corrected clamp
     # direction converges to the f32 accuracy floor regardless).
     newton_dir: bool | None = None
+    # Primal-Hessian convexification mode:
+    #   "clamp" — matmul-only PSD clamp of the per-knot Lagrangian
+    #             Hessian (+ optional exact-Newton candidate, above).
+    #   "abs"   — saddle-free |H| variant of the clamp (kkt.psd_clamp
+    #             mode="abs"): negative curvature becomes positive
+    #             stiffness of the same magnitude instead of being
+    #             flattened — measured (round 5) to contract the dual
+    #             residual far faster on nonconvex fidelity landscapes;
+    #             same cost as "clamp" with newton_dir off.
+    #   "shift" — Ipopt-style adaptive inertia regularization: ONE
+    #             factorization of W + delta_w I per iteration, with
+    #             delta_w carried in the solver state and adapted
+    #             ACROSS iterations (success -> delta_w * delta_w_dec,
+    #             failure -> delta_w * delta_w_inc + a null step this
+    #             iteration). Ipopt re-factors inside one iteration
+    #             until the inertia is correct; amortizing the ladder
+    #             across iterations keeps shapes static and costs one
+    #             factorization per iteration instead of two. The
+    #             measured motivation (round-5 diagnostics): the
+    #             max(lam, 0) clamp distorts the saddle structure of
+    #             collocation Hessians (state rows have zero objective
+    #             curvature) so the dual residual contracts slowly; the
+    #             uniform shift preserves the Newton system up to
+    #             delta_w and tracks the true negative-curvature level.
+    hess_mode: str = "clamp"
+    delta_w_init: float = 1e-3
+    delta_w_inc: float = 30.0
+    delta_w_dec: float = 0.5
+    delta_w_min: float = 1e-8
+    delta_w_max: float = 1e10
 
 
 @pytree_dataclass
@@ -150,6 +180,9 @@ class IPMState:
                             # stall heuristic (kkt_err exceeds tol and
                             # converged stays False), not the tolerance
                             # test — surfaced by QuantumControlProblem
+    err_prim: jnp.ndarray   # diagnostics: max |c| at the last iterate
+    err_dual: jnp.ndarray   # diagnostics: scaled dual residual max-norm
+    delta_w: jnp.ndarray    # adaptive inertia shift (hess_mode="shift")
 
 
 def _finite(x):
@@ -350,7 +383,7 @@ def _gradients(nlp: CollocationNLP, Z, g, params):
 
 
 def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
-           mesh=None, knot_axis: str = "knot"):
+           mesh=None, knot_axis: str = "knot", resume_from=None):
     """Build (initial state, iteration body) for the IPM loop."""
     o = options
     N, dz, dg, me, md = nlp.N, nlp.dz, nlp.dg, nlp.me, nlp.md
@@ -370,8 +403,22 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
     # Sigma = z/gap ~ mu/gap^2 must stay inside f32 range
     bound_relax = max(o.bound_relax, 1e-4) if is_f32 else o.bound_relax
 
-    hasL = _finite(nlp.lo)
-    hasU = _finite(nlp.hi)
+    # Fixed-variable treatment (nlp.pin_mask; Ipopt
+    # fixed_variable_treatment = make_parameter): pinned coordinates are
+    # parameters, not variables. Their values are injected into Z0 from
+    # params["pin_val"]; their barrier terms are dropped; every KKT
+    # Jacobian/Hessian column is zeroed (unit diagonal on the primal
+    # block) so their step is identically zero. This removes the
+    # boundary-pin equality rows from the per-knot KKT entirely — m
+    # halves on typical problems (PROFILE.md "dead boundary rows").
+    pinf = jnp.asarray(nlp.pin_mask, f64)            # [N, dz] 1.0 = fixed
+    free = 1.0 - pinf
+    free_next = jnp.concatenate([free[1:], jnp.ones((1, dz), f64)], axis=0)
+    mflat = jnp.concatenate(
+        [free, jnp.ones((N, dg), f64)], axis=1) if dg else free
+
+    hasL = _finite(nlp.lo) & (pinf < 0.5)
+    hasU = _finite(nlp.hi) & (pinf < 0.5)
     ghasL = _finite(nlp.g_lo)
     ghasU = _finite(nlp.g_hi)
     row_act = _row_activity(nlp)
@@ -392,6 +439,9 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
                        nlp.g_hi),
     )
 
+    pv = params.get("pin_val") if isinstance(params, dict) else None
+    if pv is not None:
+        Z0 = jnp.where(pinf > 0.5, jnp.asarray(pv, f64), Z0)
     Z0 = _init_interior(Z0, nlp.lo, nlp.hi, o.bound_push, o.bound_frac)
     g0 = _init_interior(g0, nlp.g_lo, nlp.g_hi, o.bound_push, o.bound_frac)
     mu0 = jnp.asarray(o.mu_init, f64)
@@ -415,7 +465,20 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
         inner_count=jnp.asarray(0), stall_wins=jnp.asarray(0),
         no_prog=jnp.asarray(0),
         stalled=jnp.asarray(False),
+        err_prim=jnp.asarray(jnp.inf, f64),
+        err_dual=jnp.asarray(jnp.inf, f64),
+        delta_w=jnp.asarray(o.delta_w_init, f64),
     )
+    if resume_from is not None:
+        # Exact checkpoint resume (utils/checkpoint.py; SURVEY.md
+        # section 5.3/5.4): restore the FULL iterate — primal, duals,
+        # barrier, and every adaptation counter — so a preempted solve
+        # continues bit-for-bit where it stopped (15 + 25 iterations
+        # reproduces 40 uninterrupted; tests/test_checkpoint.py). Only
+        # the iteration counter and stop flags reset.
+        state = resume_from.replace(
+            it=jnp.asarray(0), converged=jnp.asarray(False),
+            stalled=jnp.asarray(False))
 
     # Per-row dual regularization r_i (delta_c on active rows; ~1 on
     # masked-out rows so their multipliers decay to the reference). The
@@ -477,8 +540,8 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
             lambda Zz, gg: nlp_constraint_residuals(nlp, Zz, gg, params),
             Z, g)
         JTlam, JgTlam = vjp_fn(lam)
-        r1 = grad_z + JTlam - jnp.where(hasL, zL, 0.0) \
-            + jnp.where(hasU, zU, 0.0)
+        r1 = (grad_z + JTlam - jnp.where(hasL, zL, 0.0)
+              + jnp.where(hasU, zU, 0.0)) * free
         compL = jnp.where(hasL, gapL * zL - mu, 0.0)
         compU = jnp.where(hasU, gapU * zU - mu, 0.0)
         parts = [r1.ravel(), c.ravel(), compL.ravel(), compU.ravel()]
@@ -506,14 +569,19 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
         c = nlp_constraint_residuals(nlp, Z, g, params)
         ch = c - reg_row * (lam - s.lam_ref)    # proximally shifted residual
         Cself, Cnext, Jg = _jacobians(nlp, Z, g, params)
+        # fixed-variable treatment: pinned coordinates take no step, so
+        # their Jacobian columns vanish from the KKT (Cnext row k holds
+        # columns of z_{k+1} -> mask with free[k+1])
+        Cself = Cself * free[:, None, :]
+        Cnext = Cnext * free_next[:, None, :]
 
         JTlam = jnp.einsum("kmz,km->kz", Cself, lam)
         JTlam = JTlam.at[1:].add(jnp.einsum("kmz,km->kz", Cnext[:-1], lam[:-1]))
         JgTlam = jnp.einsum("kmg,km->g", Jg, lam) if dg else jnp.zeros(0, f64)
 
         # -- KKT errors / convergence ------------------------------------- #
-        r_dual_z = grad_z + JTlam - jnp.where(hasL, s.zL, 0.0) \
-            + jnp.where(hasU, s.zU, 0.0)
+        r_dual_z = (grad_z + JTlam - jnp.where(hasL, s.zL, 0.0)
+                    + jnp.where(hasU, s.zU, 0.0)) * free
         r_dual_g = grad_g + JgTlam - jnp.where(ghasL, s.gL, 0.0) \
             + jnp.where(ghasU, s.gU, 0.0)
         compL = jnp.where(hasL, gapL * s.zL, 0.0)
@@ -536,13 +604,24 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
             + jnp.sum(jnp.abs(s.zU)) + jnp.sum(jnp.abs(s.gL)) \
             + jnp.sum(jnp.abs(s.gU))
         s_d = jnp.maximum(100.0, dual_mass / n_duals) / 100.0
-        converged = (err_dual / s_d < o.tol) & \
-            (err_prim < o.constr_viol_tol) & (err_comp0 / s_d < o.tol)
+        # Relative-KKT termination (Knitro opttol semantics): the dual /
+        # complementarity tolerance is measured against max(1,
+        # ||grad f||_inf). At a constrained optimum the objective
+        # gradient does NOT vanish — it is balanced by J^T lam — so with
+        # a Q ~ 100 fidelity objective the achievable absolute dual
+        # residual floor sits ~2 orders above a unit-scale problem's
+        # (round-5 config-2 diagnosis: f32 floor ~0.2 against
+        # ||grad f|| ~ 50 is a 4e-3 RELATIVE error).
+        grad_inf = jnp.maximum(_max0(grad_z), _max0(grad_g))
+        s_g = jnp.maximum(1.0, grad_inf)
+        converged = (err_dual / (s_d * s_g) < o.tol) & \
+            (err_prim < o.constr_viol_tol) & \
+            (err_comp0 / (s_d * s_g) < o.tol)
         # acceptable termination: feasible + acceptably-stationary + the
         # objective has stagnated for acceptable_iter iterations
         f_now = nlp_total_cost(nlp, Z, g, params)
         acc_now = (err_prim < o.constr_viol_tol) & \
-            (err_dual / s_d < o.acceptable_tol) & \
+            (err_dual / (s_d * s_g) < o.acceptable_tol) & \
             (jnp.abs(f_now - s.f_prev)
              <= o.acceptable_obj_change * jnp.maximum(1.0, jnp.abs(f_now)))
         stagnant = jnp.where(acc_now, s.stagnant + 1, 0)
@@ -616,6 +695,9 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
         Hext = (_stage_hessians_split(nlp, Z, g, params, lam)
                 if nlp.stage_cost_split is not None
                 else _stage_hessians(nlp, Z, g, params, lam))
+        # fixed-variable treatment: zero pinned rows/cols, unit diagonal
+        Hext = Hext * mflat[:, :, None] * mflat[:, None, :]
+        Hext = Hext.at[:, jnp.arange(dz), jnp.arange(dz)].add(pinf)
         SigL = jnp.where(hasL, s.zL / gapL, 0.0)
         SigU = jnp.where(hasU, s.zU / gapU, 0.0)
         if use_newton:
@@ -627,9 +709,10 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
                 jnp.where(ghasU, s.gU / ggapU, 0.0)
             Wg = jnp.sum(Hext[:, dz:, dz:], axis=0) + jnp.diag(gSig)
 
-        # dual-equation RHS (after eliminating bound duals)
-        a = -grad_z - JTlam + jnp.where(hasL, mu / gapL, 0.0) \
-            - jnp.where(hasU, mu / gapU, 0.0)
+        # dual-equation RHS (after eliminating bound duals); zero at
+        # pinned coordinates (their dual equation leaves the system)
+        a = (-grad_z - JTlam + jnp.where(hasL, mu / gapL, 0.0)
+             - jnp.where(hasU, mu / gapU, 0.0)) * free
         if dg:
             b = -grad_g - JgTlam + jnp.where(ghasL, mu / ggapL, 0.0) \
                 - jnp.where(ghasU, mu / ggapU, 0.0)
@@ -740,6 +823,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
         rng_dz = jnp.arange(dz)
 
         # -- candidate-direction strategy ------------------------------------ #
+        # hess_mode="clamp":
         # C: globally-robust direction from the matmul-only PSD-clamped
         #    Lagrangian Hessian (kkt.psd_clamp — preserves all positive
         #    curvature, no eigendecomposition) — always a descent direction.
@@ -752,40 +836,62 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
         #    corrector exists even when the exact-Hessian KKT is rejected.
         # Static shapes throughout: one factorization when newton_dir is
         # off, two when on — no inertia ladder.
-        HB = psd_clamp(Hext[:, :dz, :dz], hess_floor,
-                       iters=20 if is_f32 else 32)
-        WzzC = HB.at[:, rng_dz, rng_dz].add(SigL + SigU)
-        auxC = factorize(WzzC)
-        dZC, dlamC, dgsC = kkt_solve(auxC, a, -ch, bg0)
-        okC = jnp.all(jnp.isfinite(dZC)) & jnp.all(jnp.isfinite(dlamC)) \
-            & jnp.all(jnp.isfinite(dgsC))
-        dZC = jnp.where(okC, dZC, 0.0)
-        dlamC = jnp.where(okC, dlamC, 0.0)
-        dgsC = jnp.where(okC, dgsC, 0.0)
-
-        if use_newton:
-            auxN = factorize(Wzz)
-            dZN, dlamN, dgsN = kkt_solve(auxN, a, -ch, bg0)
-            okN = curvature_ok(Wzz, dZN, dlamN, dgsN)
-            # Sanitize: a failed factorization signals with NaNs, which
-            # must not leak into the SOC right-hand sides or the merit.
+        #
+        # hess_mode="shift" (see IPMOptions.hess_mode): ONE factorization
+        # of W + delta_w I with the adaptive inertia shift carried in the
+        # state; a failed factorization takes a null step this iteration
+        # and retries with delta_w * delta_w_inc next iteration.
+        if o.hess_mode == "shift":
+            Wsh = Hext[:, :dz, :dz]
+            Wsh = Wsh.at[:, rng_dz, rng_dz].add(SigL + SigU + s.delta_w)
+            auxB = factorize(Wsh)
+            dZN, dlamN, dgsN = kkt_solve(auxB, a, -ch, bg0)
+            okN = jnp.all(jnp.isfinite(dZN)) & jnp.all(jnp.isfinite(dlamN)) \
+                & jnp.all(jnp.isfinite(dgsN))
             dZN = jnp.where(okN, dZN, 0.0)
             dlamN = jnp.where(okN, dlamN, 0.0)
             dgsN = jnp.where(okN, dgsN, 0.0)
-            # SOC rides the exact-Newton factorization only: correcting
-            # the clamp direction instead (tried) lets a plausible-merit
-            # but poorly-scaled corrected step win the comparison and
-            # derail hard nonconvex solves.
-            aux = auxN
+            okC = jnp.asarray(False)
+            aux = auxB
             dZb, dgsb, dlamb = dZN, dgsN, dlamN
             okB = okN
         else:
-            okN = jnp.asarray(False)
-            # clamp-based SOC: without the Newton direction the corrector
-            # is what restores fast local convergence on the f32 path
-            aux = auxC
-            dZb, dgsb, dlamb = dZC, dgsC, dlamC
-            okB = okC
+            HB = psd_clamp(Hext[:, :dz, :dz], hess_floor,
+                           iters=20 if is_f32 else 32,
+                           mode="abs" if o.hess_mode == "abs" else "pos")
+            WzzC = HB.at[:, rng_dz, rng_dz].add(SigL + SigU)
+            auxC = factorize(WzzC)
+            dZC, dlamC, dgsC = kkt_solve(auxC, a, -ch, bg0)
+            okC = jnp.all(jnp.isfinite(dZC)) & jnp.all(jnp.isfinite(dlamC)) \
+                & jnp.all(jnp.isfinite(dgsC))
+            dZC = jnp.where(okC, dZC, 0.0)
+            dlamC = jnp.where(okC, dlamC, 0.0)
+            dgsC = jnp.where(okC, dgsC, 0.0)
+
+            if use_newton:
+                auxN = factorize(Wzz)
+                dZN, dlamN, dgsN = kkt_solve(auxN, a, -ch, bg0)
+                okN = curvature_ok(Wzz, dZN, dlamN, dgsN)
+                # Sanitize: a failed factorization signals with NaNs, which
+                # must not leak into the SOC right-hand sides or the merit.
+                dZN = jnp.where(okN, dZN, 0.0)
+                dlamN = jnp.where(okN, dlamN, 0.0)
+                dgsN = jnp.where(okN, dgsN, 0.0)
+                # SOC rides the exact-Newton factorization only: correcting
+                # the clamp direction instead (tried) lets a plausible-merit
+                # but poorly-scaled corrected step win the comparison and
+                # derail hard nonconvex solves.
+                aux = auxN
+                dZb, dgsb, dlamb = dZN, dgsN, dlamN
+                okB = okN
+            else:
+                okN = jnp.asarray(False)
+                # clamp-based SOC: without the Newton direction the
+                # corrector is what restores fast local convergence on
+                # the f32 path
+                aux = auxC
+                dZb, dgsb, dlamb = dZC, dgsC, dlamC
+                okB = okC
 
         # -- second-order corrected step S ---------------------------------- #
         # (i) Mehrotra-style complementarity corrector: push the dZ*dzL
@@ -866,12 +972,20 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
                     max_step(ggapU, -dgs_, ghasU)))
             return ap
 
-        # Candidate set: (dZ, dgs, dlam, ok, diagnostic code). The clamp
-        # direction C is last — it is the fallback when nothing passes.
-        dirs = [(dZS, dgsS, dlamS, okS, 0.0)]
-        if use_newton:
-            dirs.append((dZN, dgsN, dlamN, okN, 1.0))
-        dirs.append((dZC, dgsC, dlamC, okC, 2.0))
+        # Candidate set: (dZ, dgs, dlam, ok, diagnostic code). The last
+        # entry is the fallback when nothing passes: the clamp direction
+        # C ("clamp" mode) or the null step ("shift" mode — the iterate
+        # waits one iteration while delta_w grows).
+        if o.hess_mode == "shift":
+            dirs = [(dZS, dgsS, dlamS, okS, 0.0),
+                    (dZN, dgsN, dlamN, okN, 1.0),
+                    (jnp.zeros_like(Z), jnp.zeros_like(g),
+                     jnp.zeros_like(lam), jnp.asarray(True), 3.0)]
+        else:
+            dirs = [(dZS, dgsS, dlamS, okS, 0.0)]
+            if use_newton:
+                dirs.append((dZN, dgsN, dlamN, okN, 1.0))
+            dirs.append((dZC, dgsC, dlamC, okC, 2.0))
         codes = jnp.asarray([d[4] for d in dirs], f64)
 
         # ONE merged parallel Armijo backtracking over all candidate
@@ -946,7 +1060,7 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
         pick = jnp.where(jnp.isinf(jnp.min(phi3)), len(dirs) - 1, pick)
         delta_used = codes[pick]
 
-        dZ = dZ2[pick]
+        dZ = dZ2[pick] * free          # exact zero step on pinned coords
         dgs = dgs2[pick]
         dlam = dlam2[pick]
         alpha = alpha2[pick]
@@ -998,7 +1112,16 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
             kkt_best=kkt_best, kkt_mark=kkt_mark,
             inner_best=inner_best, inner_mark=inner_mark,
             inner_count=inner_count, stall_wins=stall_wins,
-            no_prog=no_prog, stalled=stalled)
+            no_prog=no_prog, stalled=stalled,
+            err_prim=err_prim, err_dual=err_dual / s_d,
+            delta_w=jnp.where(
+                done, s.delta_w,
+                jnp.where(okB,
+                          jnp.maximum(o.delta_w_min,
+                                      s.delta_w * o.delta_w_dec),
+                          jnp.minimum(o.delta_w_max,
+                                      s.delta_w * o.delta_w_inc)))
+            if o.hess_mode == "shift" else s.delta_w)
 
     return state, body
 
@@ -1019,7 +1142,8 @@ def _trace_ctx(Z0):
 def solve_nlp(nlp: CollocationNLP, params, Z0, g0=None,
               options: IPMOptions = IPMOptions(),
               callback=None, callback_every: int = 1,
-              mesh=None, knot_axis: str = "knot") -> IPMState:
+              mesh=None, knot_axis: str = "knot",
+              resume_from: IPMState | None = None) -> IPMState:
     """Solve the collocation NLP from (Z0, g0). Fully jittable/vmappable
     (except kkt_backend="knot", which is single-problem).
 
@@ -1039,7 +1163,8 @@ def solve_nlp(nlp: CollocationNLP, params, Z0, g0=None,
     partition automatically under GSPMD."""
     with _trace_ctx(Z0):
         state, body = _setup(nlp, params, Z0, g0, options,
-                             mesh=mesh, knot_axis=knot_axis)
+                             mesh=mesh, knot_axis=knot_axis,
+                             resume_from=resume_from)
 
         if callback is not None:
             inner_body = body
@@ -1075,6 +1200,9 @@ def solve_nlp_traced(nlp: CollocationNLP, params, Z0, g0=None,
             s_new = jax.lax.cond(s.converged | s.stalled, lambda x: x, body, s)
             return s_new, {"kkt": s_new.kkt_err, "mu": s_new.mu,
                            "alpha": s_new.alpha, "nu": s_new.nu,
-                           "delta": s_new.delta_used, "f": s_new.f_prev}
+                           "delta": s_new.delta_used, "f": s_new.f_prev,
+                           "err_prim": s_new.err_prim,
+                           "err_dual": s_new.err_dual,
+                           "dw": s_new.delta_w}
 
         return jax.lax.scan(step, state0, None, length=options.max_iter)

@@ -77,20 +77,67 @@ def tri_lower_inv(L):
     return acc / d[..., None, :]               # (I+N)^{-1} D^{-1}
 
 
+def _blocked_chol_inv(A):
+    """Xi = L^{-1} for SPD A = L L^T via recursive 2x2 blocking.
+
+    XLA lowers `jnp.linalg.cholesky` on small batched blocks to a
+    sequential column loop (~20x the cost of a same-shape matmul on TPU
+    — PROFILE.md). This recursion is matmul-only: closed forms at
+    m <= 2, then
+
+        Xi11 = chol_inv(A11);     T = A21 Xi11^T   (= L21)
+        Xi22 = chol_inv(A22 - T T^T)
+        Xi21 = -Xi22 (T Xi11)
+
+    Depth ceil(log2 m); every level is a few batched matmuls. sqrt of a
+    negative pivot yields NaN, preserving the PD-test contract.
+    """
+    m = A.shape[-1]
+    if m == 0:
+        return A
+    if m == 1:
+        return 1.0 / jnp.sqrt(A)
+    if m == 2:
+        a = A[..., 0, 0]
+        b = A[..., 1, 0]
+        c = A[..., 1, 1]
+        l11 = jnp.sqrt(a)
+        l21 = b / l11
+        l22 = jnp.sqrt(c - l21 * l21)
+        i11 = 1.0 / l11
+        i22 = 1.0 / l22
+        i21 = -l21 * i11 * i22
+        z = jnp.zeros_like(a)
+        return jnp.stack([
+            jnp.stack([i11, z], axis=-1),
+            jnp.stack([i21, i22], axis=-1),
+        ], axis=-2)
+    p = m // 2
+    X1 = _blocked_chol_inv(A[..., :p, :p])
+    T = A[..., p:, :p] @ jnp.swapaxes(X1, -1, -2)
+    S = A[..., p:, p:] - T @ jnp.swapaxes(T, -1, -2)
+    X2 = _blocked_chol_inv(S)
+    X21 = -X2 @ (T @ X1)
+    top = jnp.concatenate(
+        [X1, jnp.zeros((*X1.shape[:-2], p, m - p), A.dtype)], axis=-1)
+    bot = jnp.concatenate([X21, X2], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def chol_inv_factor(A):
     """Xi with A^{-1} = Xi^T @ Xi for SPD A [..., m, m].
 
-    Jacobi-equilibrated (unit diagonal) before the Cholesky so the
-    factorization stays accurate in float32 even when barrier terms give
-    the diagonal a huge dynamic range (Sigma ~ mu/gap^2 near active
-    bounds). Returns NaNs if A is not numerically PD (Cholesky of an
-    indefinite matrix yields NaN on XLA) — callers use this as the PD
-    test.
+    Jacobi-equilibrated (unit diagonal) before the factorization so it
+    stays accurate in float32 even when barrier terms give the diagonal
+    a huge dynamic range (Sigma ~ mu/gap^2 near active bounds). Returns
+    NaNs if A is not numerically PD (negative pivot -> sqrt -> NaN) —
+    callers use this as the PD test. Matmul-only (recursive-block
+    Cholesky inverse, `_blocked_chol_inv`): no linalg.cholesky /
+    triangular_solve anywhere.
     """
     d = jnp.sqrt(jnp.maximum(jnp.diagonal(A, axis1=-2, axis2=-1), 1e-300))
     As = A / d[..., :, None] / d[..., None, :]
-    L = jnp.linalg.cholesky(As)
-    Li = tri_lower_inv(L)
+    Li = _blocked_chol_inv(As)
     return Li / d[..., None, :]
 
 
@@ -100,14 +147,25 @@ def spd_inv(A):
     return jnp.swapaxes(Xi, -1, -2) @ Xi
 
 
-def psd_clamp(W, floor_rel, iters: int = 32):
-    """Matmul-only PSD projection of symmetric W [..., n, n].
+def psd_clamp(W, floor_rel, iters: int = 32, mode: str = "pos"):
+    """Matmul-only PSD convexification of symmetric W [..., n, n].
 
-    Returns approximately U max(lam, 0) U^T + floor*I via the
-    Newton-Schulz matrix-sign iteration S <- 1.5 S - 0.5 S^3 (sign(W) =
-    U sign(lam) U^T, |W| = sign(W) W, PSD part = (W + |W|)/2): the
-    TPU-native replacement for the eigendecomposition clamp — no eigh
-    anywhere, ~2*iters batched matmuls.
+    mode="pos": approximately U max(lam, 0) U^T + floor*I — drops
+    negative curvature (negative-curvature directions become ~flat, so
+    steps along them are limited only by the floor).
+    mode="abs": saddle-free |W| = U |lam| U^T + floor*I (Dauphin et al.
+    2014) — negative curvature becomes positive stiffness of the SAME
+    magnitude, so the Newton system is damped per-knot and per-direction
+    exactly where the Lagrangian is concave, and is EXACT wherever the
+    Hessian is PSD. Round-5 diagnostics: "pos" makes the dual residual
+    creep on strongly nonconvex fidelity landscapes (the flat model
+    keeps re-exciting negative directions), and a uniform inertia shift
+    must damp every knot to fix the worst one; |W| fixes both.
+
+    Both via the Newton-Schulz matrix-sign iteration S <- 1.5 S - 0.5 S^3
+    (sign(W) = U sign(lam) U^T, |W| = sign(W) W): the TPU-native
+    replacement for an eigendecomposition — no eigh anywhere, ~2*iters
+    batched matmuls.
 
     Eigenvalues below ~1.5^-iters of the spectral bound s are only
     partially resolved by the sign iteration (small x grows as 1.5^k);
@@ -125,7 +183,7 @@ def psd_clamp(W, floor_rel, iters: int = 32):
 
     S, _ = jax.lax.scan(step, Y, None, length=iters)
     absW = S @ Y                                         # |W| / s
-    Wpd = 0.5 * (Y + absW)
+    Wpd = absW if mode == "abs" else 0.5 * (Y + absW)
     Wpd = 0.5 * (Wpd + jnp.swapaxes(Wpd, -1, -2)) * s[..., None, None]
     floor = jnp.maximum(floor_rel, 0.5 * 1.5 ** (-iters)) \
         * jnp.maximum(1.0, s)

@@ -42,6 +42,12 @@ class CollocationNLP:
     g_lo: jnp.ndarray                   # [dg]
     g_hi: jnp.ndarray                   # [dg]
     eq_mask: jnp.ndarray                # [N, me] (1.0 active / 0.0 inactive)
+    pin_mask: jnp.ndarray = None        # [N, dz] 1.0 = FIXED variable
+                                        # (Ipopt fixed_variable_treatment
+                                        # make_parameter: the IPM removes
+                                        # these coordinates from the
+                                        # optimization — values come from
+                                        # params["pin_val"])
     stage_cost: object = static_field(default=None)   # (k, z, g, params) -> scalar
     dynamics: object = static_field(default=None)     # (k, z, zp, g, params) -> [md]
     stage_eq: object = static_field(default=None)     # (k, z, g, params) -> [me]
@@ -67,8 +73,9 @@ class CollocationNLP:
 
     def __init__(self, *, N, dz, dg, md, me, stage_cost, dynamics=None,
                  stage_eq=None, lo=None, hi=None, g_lo=None, g_hi=None,
-                 eq_mask=None, dynamics_split=None, stage_cost_split=None,
-                 stage_eq_split=None, nl_cols=None, lin_cols=None):
+                 eq_mask=None, pin_mask=None, dynamics_split=None,
+                 stage_cost_split=None, stage_eq_split=None, nl_cols=None,
+                 lin_cols=None):
         f64 = jnp.result_type(float)
         lo = jnp.full((N, dz), -jnp.inf, f64) if lo is None else jnp.asarray(lo, f64)
         hi = jnp.full((N, dz), jnp.inf, f64) if hi is None else jnp.asarray(hi, f64)
@@ -76,6 +83,8 @@ class CollocationNLP:
         g_hi = jnp.full((dg,), jnp.inf, f64) if g_hi is None else jnp.asarray(g_hi, f64)
         if eq_mask is None:
             eq_mask = jnp.ones((N, me), f64) if me else jnp.zeros((N, 0), f64)
+        pin_mask = jnp.zeros((N, dz), f64) if pin_mask is None \
+            else jnp.asarray(pin_mask, f64)
         if dynamics is None:
             dynamics = lambda k, z, zp, g, p: jnp.zeros(0)  # noqa: E731
             md = 0
@@ -84,7 +93,8 @@ class CollocationNLP:
             me = 0
             eq_mask = jnp.zeros((N, 0), f64)
         for name, val in (("lo", lo), ("hi", hi), ("g_lo", g_lo),
-                          ("g_hi", g_hi), ("eq_mask", jnp.asarray(eq_mask, f64))):
+                          ("g_hi", g_hi), ("eq_mask", jnp.asarray(eq_mask, f64)),
+                          ("pin_mask", pin_mask)):
             object.__setattr__(self, name, val)
         object.__setattr__(self, "stage_cost", stage_cost)
         object.__setattr__(self, "dynamics", dynamics)

@@ -128,3 +128,26 @@ def test_sharded_batch_solve_matches_single_device():
                                   np.asarray(st_1dev.converged))
     np.testing.assert_array_equal(np.asarray(st_mesh.it),
                                   np.asarray(st_1dev.it))
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_batch_knot_2d_mesh_matches_local(shape):
+    """2D (batch x knot) composition: many long-horizon KKT systems on a
+    2D mesh == per-system local cyclic reduction (SURVEY 5.7 batch x
+    sequence parallelism at the KKT layer)."""
+    from piccolax.parallel.sharded_kkt import (
+        batched_sharded_spd_tridiag_solve)
+    nb, nk = shape
+    B, N, m = 2 * nb, 12 * nk, 5
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((B, N, m, m))
+    diag = jnp.asarray(A @ np.swapaxes(A, -1, -2) + (4 * m) * np.eye(m))
+    upper = jnp.asarray(rng.standard_normal((B, N - 1, m, m)))
+    rhs = jnp.asarray(rng.standard_normal((B, N, m, 3)))
+    mesh = Mesh(np.array(jax.devices()[:nb * nk]).reshape(nb, nk),
+                ("batch", "knot"))
+    x2d = batched_sharded_spd_tridiag_solve(diag, upper, rhs, mesh)
+    x_ref = jnp.stack([spd_tridiag_solve_ref(diag[b], upper[b], rhs[b])
+                       for b in range(B)])
+    np.testing.assert_allclose(np.asarray(x2d), np.asarray(x_ref),
+                               rtol=1e-8, atol=1e-8)
