@@ -84,3 +84,22 @@ def test_f32_batched_vmap_solves():
         Us = unitary_rollout(sys2, px.ZeroOrderPulse(us, times), times)
         F = float(unitary_fidelity(Us[-1], goal))
         assert F > 0.999, (b, F)
+
+
+@pytest.mark.parametrize("mode", ["abs", "shift"])
+def test_f32_hess_modes_solve_quality(mode):
+    """The round-5 convexification modes (saddle-free |H| and adaptive
+    inertia shift) solve the f32 SX problem to the same rollout-quality
+    bar as the default clamp path."""
+    sys2, times, prob = _sx_problem(15, 10.0)
+    nlp, params, Z0, g0, layout = prob.build()
+    nlp32, params32 = _cast32(nlp), _cast32(params)
+    opts = IPMOptions(max_iter=120, tol=1e-5, constr_viol_tol=1e-5,
+                      hess_mode=mode)
+    st = jax.jit(lambda Z, g: solve_nlp(nlp32, params32, Z, g, opts))(
+        jnp.asarray(Z0, jnp.float32), jnp.zeros(0, jnp.float32))
+    us = np.asarray(st.Z[:, layout.slices["u"]], np.float64)
+    Us = unitary_rollout(sys2, px.ZeroOrderPulse(us, times), times)
+    F = float(unitary_fidelity(Us[-1], jnp.asarray(px.GATES["SX"])))
+    assert F > 0.999, (mode, F)
+    assert np.all(np.isfinite(np.asarray(st.Z)))
