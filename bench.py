@@ -138,8 +138,14 @@ def bench_sx(args, cpu):
         u_sl = layout.slices["u"]
         Zb = _perturb_u(Z0, u_sl, B)
         gb = np.zeros((B, 0), np.float32)
+    # ls_iters=6 / clamp_iters=15: measured A/B (round 5, batch 256) —
+    # identical convergence (256/256, same iteration counts) at +15%
+    # throughput; the NS resolution floor at 15 sweeps (1.1e-3 * s) is
+    # still below hess_floor_f32 (3e-3 * s) so the clamp is unchanged
+    # to within its own floor.
     opts = IPMOptions(max_iter=args.iters, tol=args.tol,
-                      constr_viol_tol=args.tol)
+                      constr_viol_tol=args.tol,
+                      ls_iters=6, clamp_iters=15)
     st, dt = _timed_batch_solve(nlp, params, jnp.asarray(Zb),
                                 jnp.asarray(gb), opts,
                                 runs=1 if args.quick else 3)

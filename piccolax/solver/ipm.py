@@ -142,6 +142,10 @@ class IPMOptions:
     #             uniform shift preserves the Newton system up to
     #             delta_w and tracks the true negative-curvature level.
     hess_mode: str = "clamp"
+    # Newton-Schulz sweeps in the clamp/abs modes; None = dtype default
+    # (20 in f32, 32 in f64). The sign-iteration resolution floor is
+    # 0.5 * 1.5^-iters of the spectral bound — keep it below hess_floor.
+    clamp_iters: int | None = None
     delta_w_init: float = 1e-3
     delta_w_inc: float = 30.0
     delta_w_dec: float = 0.5
@@ -857,7 +861,8 @@ def _setup(nlp: CollocationNLP, params, Z0, g0, options: IPMOptions,
             okB = okN
         else:
             HB = psd_clamp(Hext[:, :dz, :dz], hess_floor,
-                           iters=20 if is_f32 else 32,
+                           iters=o.clamp_iters if o.clamp_iters is not None
+                           else (20 if is_f32 else 32),
                            mode="abs" if o.hess_mode == "abs" else "pos")
             WzzC = HB.at[:, rng_dz, rng_dz].add(SigL + SigU)
             auxC = factorize(WzzC)

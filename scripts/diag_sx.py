@@ -38,10 +38,10 @@ with jax.default_device(cpu):
 Zb, gb = jnp.asarray(Zb), jnp.asarray(gb)
 
 RECIPES = {
-    "clamp/1e-3/6": dict(hess_mode="clamp", delta_c_f32=1e-3, prox_iter=6),
-    "abs/1e-4/3": dict(hess_mode="abs", delta_c_f32=1e-4, prox_iter=3),
-    "abs/1e-3/6": dict(hess_mode="abs", delta_c_f32=1e-3, prox_iter=6),
-    "clamp/1e-4/3": dict(hess_mode="clamp", delta_c_f32=1e-4, prox_iter=3),
+    "baseline": dict(),
+    "ls6": dict(ls_iters=6),
+    "clamp15": dict(clamp_iters=15),
+    "ls6+clamp15": dict(ls_iters=6, clamp_iters=15),
 }
 
 for name, kw in RECIPES.items():
