@@ -285,7 +285,8 @@ def bench_ensemble(args, cpu):
         Z0_b = jnp.asarray(np.asarray(Z0_b, np.float32))
         gb = jnp.zeros((B, 0), jnp.float32)
     opts = IPMOptions(max_iter=args.iters, tol=args.tol,
-                      constr_viol_tol=args.tol)
+                      constr_viol_tol=args.tol,
+                      ls_iters=6, clamp_iters=15)
     st, dt = _timed_batch_solve(nlp, params_b, Z0_b, gb, opts,
                                 params_batched=True)
     # per-sample f64 DOP853 under each sample's OWN perturbed drift
@@ -329,7 +330,8 @@ def bench_lindblad(args, cpu):
         Zb = _perturb_u(Z0, u_sl, B, scale=0.005)
         gb = np.zeros((B, 0), np.float32)
     opts = IPMOptions(max_iter=args.iters, tol=args.tol,
-                      constr_viol_tol=args.tol)
+                      constr_viol_tol=args.tol,
+                      ls_iters=6, clamp_iters=15)
     st, dt = _timed_batch_solve(nlp, params, jnp.asarray(Zb),
                                 jnp.asarray(gb), opts)
     us = np.asarray(st.Z[:, :, u_sl], np.float64)
